@@ -1,0 +1,115 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tennis_tpu.models import (
+    CNNRNN,
+    FrameModel,
+    TemporalPooling,
+    TwoStreamModel,
+    backbone_feature_dim,
+    get_backbone,
+)
+
+# small inputs keep CPU tests fast; feature dims follow the same formulas as 512²
+RNG = jax.random.PRNGKey(0)
+
+
+def test_backbone_feature_dims():
+    assert backbone_feature_dim("DenseNet121", 512) == 4096  # the reference feat width
+    assert backbone_feature_dim("DenseNet121", 224) == 1024
+    assert backbone_feature_dim("resnet18_v2", 512) == 512
+    assert backbone_feature_dim("resnet50_v2", 224) == 2048
+
+
+def test_densenet_forward_shape():
+    # 64² input → 2×2 final map → global-ish pool → (1, 1024); the 4096-d case at
+    # 512² is covered by backbone_feature_dim and exercised on TPU in bench.py
+    net = get_backbone("densenet121", dtype=jnp.float32)
+    x = jnp.ones((1, 64, 64, 3), jnp.float32)
+    variables = net.init(RNG, x)
+    y = net.apply(variables, x)
+    assert y.shape == (1, 1024)
+
+
+def test_resnet18_forward_shape_and_train_stats():
+    net = get_backbone("resnet18_v2", dtype=jnp.float32)
+    x = jax.random.normal(RNG, (2, 64, 64, 3))
+    variables = net.init(RNG, x)
+    y = net.apply(variables, x)
+    assert y.shape == (2, 512)
+    # train mode must update batch stats
+    y2, mutated = net.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert y2.shape == (2, 512)
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(before, after)
+    )
+
+
+def test_frame_model_head():
+    net = FrameModel(get_backbone("resnet18_v2", dtype=jnp.float32), num_classes=11,
+                     dtype=jnp.float32)
+    x = jnp.ones((2, 64, 64, 3))
+    variables = net.init(RNG, x)
+    y = net.apply(variables, x)
+    assert y.shape == (2, 11) and y.dtype == jnp.float32
+
+
+def test_temporal_pooling_feats_mode():
+    net = TemporalPooling(model=None, num_classes=11, pool="max", feats=True,
+                          dtype=jnp.float32)
+    x = jax.random.normal(RNG, (2, 5, 32))
+    variables = net.init(RNG, x)
+    y = net.apply(variables, x)
+    assert y.shape == (2, 11)
+    # max pooling: invariant to time-axis permutation
+    perm = x[:, ::-1]
+    y2 = net.apply(variables, perm)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), rtol=1e-5)
+
+
+def test_temporal_pooling_mean():
+    net = TemporalPooling(model=None, num_classes=0, pool="mean", feats=True,
+                          dtype=jnp.float32)
+    x = jnp.stack([jnp.zeros((2, 8)), jnp.ones((2, 8)) * 2], axis=1)
+    variables = net.init(RNG, x)
+    y = net.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(y), 1.0, rtol=1e-6)
+
+
+def test_cnnrnn_feats_mode():
+    net = CNNRNN(model=None, num_classes=11, hidden_size=16, dtype=jnp.float32)
+    x = jax.random.normal(RNG, (2, 7, 32))
+    variables = net.init(RNG, x)
+    y = jax.jit(lambda v, x: net.apply(v, x))(variables, x)
+    assert y.shape == (2, 11)
+
+
+def test_cnnrnn_end_to_end_with_backbone():
+    backbone = get_backbone("resnet18_v2", dtype=jnp.float32)
+    net = CNNRNN(model=backbone, num_classes=5, hidden_size=8, dtype=jnp.float32)
+    x = jnp.ones((1, 3, 32, 32, 3))
+    variables = net.init(RNG, x)
+    y = net.apply(variables, x)
+    assert y.shape == (1, 5)
+
+
+def test_two_stream_split():
+    rgb = get_backbone("resnet18_v2", dtype=jnp.float32)
+    flow = get_backbone("resnet18_v2", dtype=jnp.float32)
+    net = TwoStreamModel(rgb, flow, num_classes=11, dtype=jnp.float32)
+    x = jnp.ones((1, 32, 32, 6))
+    variables = net.init(RNG, x)
+    y = net.apply(variables, x)
+    assert y.shape == (1, 11)
+
+
+def test_two_stream_flow_only():
+    flow = get_backbone("resnet18_v2", dtype=jnp.float32)
+    net = TwoStreamModel(None, flow, num_classes=11, dtype=jnp.float32)
+    x = jnp.ones((1, 32, 32, 6))
+    variables = net.init(RNG, x)
+    assert net.apply(variables, x).shape == (1, 11)
