@@ -1,0 +1,21 @@
+"""Parallelism: device mesh, sharding rules, jitted train/eval step harness."""
+
+from tennis_tpu.parallel.mesh import make_mesh, batch_sharding, replicated
+from tennis_tpu.parallel.train_step import (
+    TrainState,
+    create_train_state,
+    make_train_step,
+    make_eval_step,
+    sgd_with_schedule,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "TrainState",
+    "create_train_state",
+    "make_train_step",
+    "make_eval_step",
+    "sgd_with_schedule",
+]

@@ -1,0 +1,47 @@
+"""Device mesh construction and sharding helpers.
+
+TPU-native replacement for the reference's single-host multi-GPU data parallelism
+(``gluon.utils.split_and_load`` + Trainer kvstore all-reduce, reference
+train.py:298,410-424): one ``jax.sharding.Mesh`` over ICI, batch-axis
+``NamedSharding`` for DP, and pjit-induced collectives. A ``model`` axis exists from
+day one so tensor-parallel shardings are a spec change, not a rewrite; multi-host
+pods add a DCN data axis via ``jax.distributed.initialize`` upstream of this module.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(num_data: int | None = None, num_model: int = 1, devices=None) -> Mesh:
+    """Build a (data, model) mesh. Defaults to all-devices pure DP."""
+    devices = list(devices if devices is not None else jax.devices())
+    if num_data is None:
+        num_data = len(devices) // num_model
+    n = num_data * num_model
+    if n > len(devices):
+        raise ValueError(
+            f"mesh wants {n} devices ({num_data}x{num_model}), have {len(devices)}"
+        )
+    grid = np.asarray(devices[:n]).reshape(num_data, num_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis; replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host batch with the leading axis sharded over ``data``."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)

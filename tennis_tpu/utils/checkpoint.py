@@ -1,0 +1,92 @@
+"""Checkpoint / resume / model-selection conventions.
+
+Keeps the reference's filesystem contract (reference train.py:286-295,487-497,
+334-346) so existing tooling conventions hold:
+
+- ``<exp_dir>/{epoch:04d}.params``     one file per epoch (msgpack'd pytree here);
+- resume = scan for ``*.params``, take the newest epoch, continue at epoch+1;
+- ``<exp_dir>/scores.txt``             appended ``<epoch>\\t<score>`` lines;
+- best-epoch selection = argmax over scores.txt (AVG_NB_f1 for vision,
+  BLEU for captioning), re-scanned by both trainer and evaluator;
+- captioning adds ``valid_best.params`` written on BLEU improvement
+  (reference train_gnmt.py:450-454), skipped by the resume scan.
+
+Serialization is flax msgpack (host-resident, single file). For pod-scale states,
+swap ``save_state``/``load_state`` for orbax async checkpointing — the naming and
+selection conventions above stay unchanged.
+"""
+from __future__ import annotations
+
+import os
+import re
+
+import jax
+import numpy as np
+from flax import serialization
+
+_EPOCH_RE = re.compile(r"^(\d{4})\.params$")
+
+
+def save_state(path: str, state) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    host_state = jax.device_get(state)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(host_state))
+
+
+def load_state(path: str, target):
+    """Restore into a template pytree (shapes/dtypes from ``target``)."""
+    with open(path, "rb") as f:
+        return serialization.from_bytes(target, f.read())
+
+
+def epoch_path(exp_dir: str, epoch: int) -> str:
+    return os.path.join(exp_dir, f"{epoch:04d}.params")
+
+
+def list_epochs(exp_dir: str) -> list[int]:
+    if not os.path.isdir(exp_dir):
+        return []
+    epochs = []
+    for f in os.listdir(exp_dir):
+        m = _EPOCH_RE.match(f)
+        if m:
+            epochs.append(int(m.group(1)))
+    return sorted(epochs)
+
+
+def latest_epoch(exp_dir: str) -> int | None:
+    epochs = list_epochs(exp_dir)
+    return epochs[-1] if epochs else None
+
+
+def append_score(exp_dir: str, epoch: int, score: float) -> None:
+    os.makedirs(exp_dir, exist_ok=True)
+    with open(os.path.join(exp_dir, "scores.txt"), "a") as f:
+        f.write(f"{epoch}\t{score}\n")
+
+
+def best_epoch(exp_dir: str) -> tuple[int, float] | None:
+    """Argmax epoch from scores.txt (reference train.py:334-346)."""
+    path = os.path.join(exp_dir, "scores.txt")
+    if not os.path.exists(path):
+        return None
+    best = None
+    with open(path, "r") as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                epoch, score = int(parts[0]), float(parts[1])
+                if best is None or score > best[1]:
+                    best = (epoch, score)
+    return best
+
+
+def resume_epoch(exp_dir: str) -> int:
+    """First epoch to run: newest checkpoint + 1, or 0 if none."""
+    latest = latest_epoch(exp_dir)
+    return 0 if latest is None else latest + 1
+
+
+def param_count(params) -> int:
+    return int(sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(params)))

@@ -1,0 +1,55 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tennis_tpu.utils import checkpoint as ckpt
+
+
+def _state():
+    return {
+        "params": {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros(3)},
+        "step": jnp.asarray(7),
+    }
+
+
+def test_save_load_roundtrip(tmp_path):
+    path = ckpt.epoch_path(str(tmp_path), 3)
+    state = _state()
+    ckpt.save_state(path, state)
+    zero = jax.tree_util.tree_map(jnp.zeros_like, state)
+    restored = ckpt.load_state(path, zero)
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]), np.asarray(state["params"]["w"])
+    )
+    assert int(restored["step"]) == 7
+
+
+def test_epoch_naming_and_resume(tmp_path):
+    d = str(tmp_path)
+    assert ckpt.resume_epoch(d) == 0
+    for e in (0, 1, 5):
+        ckpt.save_state(ckpt.epoch_path(d, e), _state())
+    assert os.path.exists(os.path.join(d, "0005.params"))
+    assert ckpt.list_epochs(d) == [0, 1, 5]
+    assert ckpt.latest_epoch(d) == 5
+    assert ckpt.resume_epoch(d) == 6
+    # valid_best.params must not confuse the scan (reference train_gnmt.py:241-245)
+    ckpt.save_state(os.path.join(d, "valid_best.params"), _state())
+    assert ckpt.latest_epoch(d) == 5
+
+
+def test_scores_and_best_epoch(tmp_path):
+    d = str(tmp_path)
+    assert ckpt.best_epoch(d) is None
+    for e, s in [(0, 0.1), (1, 0.5), (2, 0.3)]:
+        ckpt.append_score(d, e, s)
+    assert ckpt.best_epoch(d) == (1, 0.5)
+    with open(os.path.join(d, "scores.txt")) as f:
+        lines = f.read().splitlines()
+    assert lines[0] == "0\t0.1"
+
+
+def test_param_count():
+    assert ckpt.param_count(_state()["params"]) == 9

@@ -1,0 +1,111 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tennis_tpu.models import CNNRNN, FrameModel, get_backbone
+from tennis_tpu.parallel import (
+    batch_sharding,
+    create_train_state,
+    make_eval_step,
+    make_mesh,
+    make_train_step,
+    sgd_with_schedule,
+)
+from tennis_tpu.parallel.mesh import shard_batch
+
+
+def test_mesh_uses_all_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8  # conftest forces 8 CPU devices
+    assert mesh.axis_names == ("data", "model")
+
+
+def test_mesh_data_model_split():
+    mesh = make_mesh(num_data=4, num_model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh(num_data=16, num_model=1)
+
+
+def test_dp_train_step_runs_and_learns():
+    mesh = make_mesh()
+    model = CNNRNN(model=None, num_classes=4, hidden_size=8, dtype=jnp.float32)
+    tx, _ = sgd_with_schedule(0.1, lr_steps=(10,), steps_per_epoch=5)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (16, 6, 12))
+    y = jax.random.randint(rng, (16,), 0, 4)
+    state = create_train_state(model, rng, x, tx, {"train": True})
+    step = make_train_step(model, mesh=mesh, num_classes=4)
+
+    xs, ys = shard_batch(mesh, (x, y))
+    losses = []
+    for _ in range(25):
+        state, loss, logits, cm = step(state, xs, ys)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert int(np.asarray(cm).sum()) == 16  # one count per sample
+    assert int(state.step) == 25
+
+
+def test_dp_matches_single_device():
+    """The mesh-sharded step must compute the same loss as unsharded jit."""
+    model = CNNRNN(model=None, num_classes=3, hidden_size=4, dtype=jnp.float32)
+    tx, _ = sgd_with_schedule(0.05)
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.normal(rng, (8, 5, 6))
+    y = jax.random.randint(rng, (8,), 0, 3)
+
+    # two independent states (same rng → same values); the steps donate their input
+    # buffers, so they must not alias
+    state_a = create_train_state(model, rng, x, tx, {"train": True})
+    state_b = create_train_state(model, rng, x, tx, {"train": True})
+
+    mesh = make_mesh()
+    step_dp = make_train_step(model, mesh=mesh)
+    step_1d = make_train_step(model, mesh=None)
+
+    xs, ys = shard_batch(mesh, (x, y))
+    la, lb = None, None
+    for _ in range(3):
+        state_a, la, _ = step_dp(state_a, xs, ys)
+        state_b, lb, _ = step_1d(state_b, x, y)
+    np.testing.assert_allclose(float(la), float(lb), rtol=2e-4)
+
+
+def test_batchnorm_state_updates_under_mesh():
+    mesh = make_mesh()
+    model = FrameModel(get_backbone("resnet18_v2", dtype=jnp.float32),
+                       num_classes=3, dtype=jnp.float32)
+    tx, _ = sgd_with_schedule(0.01)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (8, 32, 32, 3))
+    y = jax.random.randint(rng, (8,), 0, 3)
+    state = create_train_state(model, rng, x, tx, {"train": True})
+    before = jax.tree_util.tree_leaves(jax.device_get(state.batch_stats))
+    step = make_train_step(model, mesh=mesh)
+    state, loss, _ = step(state, *shard_batch(mesh, (x, y)))
+    after = jax.tree_util.tree_leaves(jax.device_get(state.batch_stats))
+    assert any(not np.allclose(a, b) for a, b in zip(before, after))
+
+    ev = make_eval_step(model, num_classes=3)
+    logits, cm = ev(state.params, state.batch_stats, x, y)
+    assert logits.shape == (8, 3) and np.asarray(cm).sum() == 8
+
+
+def test_lr_schedule_steps():
+    tx, schedule = sgd_with_schedule(
+        1.0, lr_steps=(2, 4), lr_factor=0.5, steps_per_epoch=10
+    )
+    assert float(schedule(0)) == 1.0
+    assert float(schedule(19)) == 1.0
+    assert float(schedule(20)) == 0.5
+    assert float(schedule(40)) == 0.25
+
+
+def test_sharded_input_layout():
+    mesh = make_mesh()
+    x = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    xs = shard_batch(mesh, x)
+    assert xs.sharding == batch_sharding(mesh)
+    np.testing.assert_array_equal(np.asarray(xs), x)
