@@ -1,0 +1,170 @@
+"""Image transforms, split TPU-first into a host stage and a device stage.
+
+The reference applies gluon CPU transforms per frame inside DataLoader workers
+(reference train.py:132-147: RandomResizedCrop(512) + flip + ColorJitter(0.4) +
+RandomLighting(0.1) + Normalize for train; Resize(+32) + CenterCrop for test;
+utils/transforms.py:4-19 TwoStreamNormalize for 6-channel RGB+flow).
+
+Here the pipeline is split so the host does only uint8 geometry (cv2 SIMD decode /
+resize / crop — cheap, and uint8 halves host→device traffic 4×) and everything
+arithmetic — scale, flip, color jitter, PCA lighting, normalize — runs **on device,
+fused by XLA into the model's first conv**:
+
+    host:   decode → geometry (RandomResizedCrop | Resize+CenterCrop) → uint8 NHWC
+    device: u8→f32 → flip/jitter/lighting (train, jax PRNG) → normalize → bf16
+
+This is the "fused decode→resize→normalize input stage" of the north-star plan.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# ImageNet statistics (reference train.py:138-147)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+# flow-channel statistics (reference utils/transforms.py:6-7)
+TWO_STREAM_MEAN = (0.485, 0.456, 0.406, 0.863, 0.871, 0.883)
+TWO_STREAM_STD = (0.229, 0.224, 0.225, 0.098, 0.087, 0.095)
+
+# ImageNet PCA lighting basis (alexnet convention), in [0,1] scale
+_EIGVAL = np.array([0.2175, 0.0188, 0.0045], dtype=np.float32)
+_EIGVEC = np.array(
+    [
+        [-0.5675, 0.7192, 0.4009],
+        [-0.5808, -0.0045, -0.8140],
+        [-0.5836, -0.6948, 0.4203],
+    ],
+    dtype=np.float32,
+)
+
+
+# --------------------------------------------------------------------- host stage
+
+
+def resize_shorter(img: np.ndarray, size: int) -> np.ndarray:
+    """Resize so the shorter side equals ``size`` (gluon ``Resize`` with
+    keep_ratio semantics used before CenterCrop)."""
+    import cv2
+
+    h, w = img.shape[:2]
+    if h < w:
+        new_h, new_w = size, max(1, round(w * size / h))
+    else:
+        new_h, new_w = max(1, round(h * size / w)), size
+    return cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+
+
+def center_crop(img: np.ndarray, size: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    y0 = max(0, (h - size) // 2)
+    x0 = max(0, (w - size) // 2)
+    out = img[y0 : y0 + size, x0 : x0 + size]
+    if out.shape[0] != size or out.shape[1] != size:  # undersized input: pad
+        pad_h, pad_w = size - out.shape[0], size - out.shape[1]
+        out = np.pad(out, ((0, pad_h), (0, pad_w), (0, 0)))
+    return out
+
+
+def random_resized_crop(
+    img: np.ndarray,
+    size: int,
+    rng: np.random.Generator,
+    scale=(0.08, 1.0),
+    ratio=(3.0 / 4.0, 4.0 / 3.0),
+) -> np.ndarray:
+    """Gluon/torchvision ``RandomResizedCrop``: random area+aspect crop → resize."""
+    import cv2
+
+    h, w = img.shape[:2]
+    area = h * w
+    for _ in range(10):
+        target_area = rng.uniform(*scale) * area
+        log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
+        aspect = math.exp(rng.uniform(*log_ratio))
+        cw = int(round(math.sqrt(target_area * aspect)))
+        ch = int(round(math.sqrt(target_area / aspect)))
+        if 0 < cw <= w and 0 < ch <= h:
+            x0 = int(rng.integers(0, w - cw + 1))
+            y0 = int(rng.integers(0, h - ch + 1))
+            crop = img[y0 : y0 + ch, x0 : x0 + cw]
+            return cv2.resize(crop, (size, size), interpolation=cv2.INTER_LINEAR)
+    # fallback: center crop of the shorter side
+    return cv2.resize(
+        center_crop(img, min(h, w)), (size, size), interpolation=cv2.INTER_LINEAR
+    )
+
+
+def test_geometry(img: np.ndarray, data_shape: int) -> np.ndarray:
+    """Resize(+32) + CenterCrop(data_shape) — reference train.py:143-147."""
+    return center_crop(resize_shorter(img, data_shape + 32), data_shape)
+
+
+def train_geometry(
+    img: np.ndarray, data_shape: int, rng: np.random.Generator
+) -> np.ndarray:
+    return random_resized_crop(img, data_shape, rng)
+
+
+# ------------------------------------------------------------------- device stage
+
+
+def normalize(x, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    """(B, H, W, C) float in [0,1] → standardized. 6-channel input uses the
+    two-stream statistics automatically."""
+    c = x.shape[-1]
+    if c == 6:
+        mean, std = TWO_STREAM_MEAN, TWO_STREAM_STD
+    m = jnp.asarray(mean[:c], x.dtype)
+    s = jnp.asarray(std[:c], x.dtype)
+    return (x - m) / s
+
+
+def device_prepare(batch_u8, dtype=jnp.bfloat16):
+    """Eval path: uint8 NHWC → normalized ``dtype``. Jit-fusable into the model."""
+    x = batch_u8.astype(jnp.float32) / 255.0
+    return normalize(x).astype(dtype)
+
+
+def device_augment(batch_u8, rng, dtype=jnp.bfloat16, jitter: float = 0.4,
+                   lighting: float = 0.1):
+    """Train path: uint8 NHWC (B, H, W, 3) → flip + color jitter + PCA lighting +
+    normalize, all batched with jax PRNG (reference train.py:133-141 semantics).
+
+    Jitter factors are multiplicative, so applying them in [0,1] matches gluon's
+    [0,255]-scale implementation exactly.
+    """
+    k_flip, k_b, k_c, k_s, k_l, k_order = jax.random.split(rng, 6)
+    x = batch_u8.astype(jnp.float32) / 255.0
+    B = x.shape[0]
+
+    # horizontal flip, per sample
+    do_flip = jax.random.bernoulli(k_flip, 0.5, (B, 1, 1, 1))
+    x = jnp.where(do_flip, x[:, :, ::-1, :], x)
+
+    # brightness: x *= 1 + U(-j, j)
+    fb = 1.0 + jax.random.uniform(k_b, (B, 1, 1, 1), minval=-jitter, maxval=jitter)
+    x = x * fb
+    # contrast: blend with per-image gray mean
+    gray = jnp.mean(x, axis=-1, keepdims=True)
+    mean_gray = jnp.mean(gray, axis=(1, 2), keepdims=True)
+    fc = 1.0 + jax.random.uniform(k_c, (B, 1, 1, 1), minval=-jitter, maxval=jitter)
+    x = fc * x + (1.0 - fc) * mean_gray
+    # saturation: blend with grayscale
+    luma = (
+        0.299 * x[..., 0:1] + 0.587 * x[..., 1:2] + 0.114 * x[..., 2:3]
+    )
+    fs = 1.0 + jax.random.uniform(k_s, (B, 1, 1, 1), minval=-jitter, maxval=jitter)
+    x = fs * x + (1.0 - fs) * luma
+
+    # PCA lighting noise
+    alpha = jax.random.normal(k_l, (B, 3)) * lighting
+    delta = (alpha * _EIGVAL[None, :]) @ _EIGVEC.T  # (B, 3)
+    x = x + delta[:, None, None, :]
+
+    x = jnp.clip(x, 0.0, 1.0)
+    return normalize(x).astype(dtype)

