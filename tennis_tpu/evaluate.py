@@ -79,12 +79,16 @@ def evaluate_model():
         )
         return jax.nn.softmax(logits, axis=-1)
 
+    from tennis_tpu.parallel.mesh import pad_batch
+
     metrics = train_driver._metric_set(test_set.classes)
     results, gts = {}, {}
     tic = time.time()
-    for images, labels, idxs in prefetch_to_device(iter(loader),
-                                                   batch_sharding(mesh)):
+    for batch in iter(loader):
+        (images, labels, idxs), n = pad_batch(batch, FLAGS.batch_size)
+        images = jax.device_put(images, batch_sharding(mesh))
         probs = eval_step(state.params, state.batch_stats, images)
+        labels, probs, idxs = labels[:n], probs[:n], np.asarray(idxs)[:n]
         for m in metrics.values():
             m.update(labels, probs)
         probs_np = np.asarray(jax.device_get(probs))

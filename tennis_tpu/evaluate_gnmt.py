@@ -1,0 +1,98 @@
+"""Captioning evaluator (CLI-compatible with the reference evaluate_gnmt.py:91-253).
+
+Loads ``valid_best.params``, beam-decodes the test split, reports the NLG suite.
+Reuses cached predictions when ``best_test_out.txt`` exists (reference
+evaluate_gnmt.py:137-147 behaviour) unless ``--force`` is passed.
+
+Run: ``python -m tennis_tpu.evaluate_gnmt --model_id 0102 --feats_model 0006 ...``
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+from absl import flags, logging
+
+from tennis_tpu.train_gnmt import (
+    FLAGS,
+    _write_sentences,
+    build_model,
+    make_datasets,
+)
+
+flags.DEFINE_bool("force", False, "re-decode even if best_test_out.txt exists",
+                  flag_values=FLAGS)
+
+
+def evaluate(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from tennis_tpu.data.bucketing import BucketedCaptionLoader
+    from tennis_tpu.metrics.nlg import nlg_metric_suite
+    from tennis_tpu.translation import BeamSearchTranslator
+    from tennis_tpu.utils import checkpoint as ckpt
+    from tennis_tpu.utils.experiments import experiment_dir, setup_logging
+
+    exp_dir = experiment_dir("captioning", FLAGS.model_id)
+    setup_logging(exp_dir, {name: FLAGS[name].value for name in FLAGS})
+
+    data_train, _, data_test = make_datasets()
+    vocab = data_train.vocab
+    test_tgt = data_test.get_captions(split=True)
+
+    cached = os.path.join(exp_dir, "best_test_out.txt")
+    if os.path.exists(cached) and not FLAGS.force:
+        logging.info("reusing cached predictions %s", cached)
+        with open(cached, "r", encoding="utf-8") as f:
+            hyps = [line.split() for line in f]
+    else:
+        model = build_model(len(vocab))
+        loader = BucketedCaptionLoader(
+            data_test, FLAGS.test_batch_size, FLAGS.num_buckets,
+            FLAGS.bucket_scheme, FLAGS.bucket_ratio, shuffle=False,
+            num_workers=FLAGS.num_workers, pad_multiple=8,
+        )
+        first = next(iter(loader))
+        rng = jax.random.PRNGKey(0)
+        variables = jax.jit(model.init)(
+            rng, jnp.asarray(first[0][:1]), jnp.asarray(first[1][:1, :-1])
+        )
+        best_path = os.path.join(exp_dir, "valid_best.params")
+        if not os.path.exists(best_path):
+            raise FileNotFoundError(f"{best_path} (train first)")
+        restored = ckpt.load_state(best_path, {"params": variables["params"]})
+        params = restored["params"]
+        logging.info("loaded %s", best_path)
+
+        translator = BeamSearchTranslator(
+            model, bos_id=vocab[vocab.bos_token], eos_id=vocab[vocab.eos_token],
+            beam_size=FLAGS.beam_size, alpha=FLAGS.lp_alpha, K=FLAGS.lp_k,
+            max_length=FLAGS.tgt_max_len + 20,
+        )
+        hyps, order = [], []
+        for batch in loader:
+            src, tgt, src_vl, tgt_vl, idxs = batch
+            hyps.extend(translator.translate_tokens({"params": params}, src,
+                                                    src_vl, vocab))
+            order.extend(int(i) for i in idxs)
+        ordered = [None] * len(hyps)
+        for pos, ds_idx in enumerate(order):
+            ordered[ds_idx] = hyps[pos]
+        hyps = ordered
+        _write_sentences(hyps, cached)
+
+    suite = nlg_metric_suite([[t] for t in test_tgt], hyps)
+    for k, v in suite.items():
+        logging.info("test %s=%.4f", k, v)
+    return suite
+
+
+def main(argv=None):
+    FLAGS(argv if argv is not None else sys.argv)
+    return evaluate()
+
+
+if __name__ == "__main__":
+    main()

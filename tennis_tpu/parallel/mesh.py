@@ -45,3 +45,22 @@ def shard_batch(mesh: Mesh, batch):
     """Device-put a host batch with the leading axis sharded over ``data``."""
     s = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def pad_batch(batch, multiple: int):
+    """Pad every leaf's leading axis up to a multiple (repeating row 0, which keeps
+    dtypes/statistics sane) so it can shard over the data axis. Returns
+    ``(padded_batch, n_valid)`` — callers slice results back to ``n_valid``."""
+    leaves = jax.tree_util.tree_leaves(batch)
+    n = leaves[0].shape[0]
+    rem = n % multiple
+    if rem == 0:
+        return batch, n
+
+    pad_n = multiple - rem
+
+    def pad(x):
+        reps = np.concatenate([np.arange(n), np.zeros(pad_n, np.int64)])
+        return x[reps] if hasattr(x, "shape") else x
+
+    return jax.tree_util.tree_map(pad, batch), n

@@ -191,6 +191,10 @@ def train_and_evaluate():
 
     devices = jax.devices()
     num_data = FLAGS.num_devices if FLAGS.num_devices > 0 else len(devices)
+    if FLAGS.batch_size % num_data:
+        raise ValueError(
+            f"--batch_size {FLAGS.batch_size} must divide across {num_data} devices"
+        )
     mesh = make_mesh(num_data=num_data, devices=devices[:num_data])
     bsharding = batch_sharding(mesh)
     logging.info("mesh: %s over %s", dict(mesh.shape), devices[:num_data])
@@ -258,12 +262,16 @@ def train_and_evaluate():
         return model.apply({"params": params, "batch_stats": batch_stats}, images,
                            train=False)
 
+    from tennis_tpu.parallel.mesh import pad_batch
+
     def run_eval(split):
         metrics = _metric_set(test_set.classes)
-        for images, labels, _ in prefetch_to_device(iter(loaders[split]), bsharding):
+        for batch in iter(loaders[split]):
+            (images, labels, _), n = pad_batch(batch, FLAGS.batch_size)
+            images = jax.device_put(images, bsharding)
             logits = eval_step(state.params, state.batch_stats, images)
             for m in metrics.values():
-                m.update(labels, logits)
+                m.update(labels[:n], logits[:n])
         return metrics
 
     key = jax.random.PRNGKey(FLAGS.seed + 123)
@@ -345,14 +353,18 @@ def save_features(model, state, datasets, loaders, mesh):
         variables = {"params": params, "batch_stats": batch_stats}
         return model.apply(variables, images, train=False, method=model.features)
 
+    from tennis_tpu.parallel.mesh import pad_batch
+
     for split, ds in zip(("train", "val", "test"), datasets):
         loader = loaders[split]
         count = 0
-        for images, labels, idxs in prefetch_to_device(iter(loader),
-                                                       batch_sharding(mesh)):
+        for batch in iter(loader):
+            (images, labels, idxs), n = pad_batch(batch, loader.batch_size)
+            images = jax.device_put(images, batch_sharding(mesh))
             feats = np.asarray(jax.device_get(
                 feat_step(state.params, state.batch_stats, images)
-            ), dtype=np.float32)
+            ), dtype=np.float32)[:n]
+            idxs = np.asarray(idxs)[:n]
             for feat, idx in zip(feats, np.asarray(idxs)):
                 path = ds.save_feature_path(int(idx))
                 os.makedirs(os.path.dirname(path), exist_ok=True)

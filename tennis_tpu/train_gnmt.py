@@ -1,0 +1,316 @@
+"""Captioning trainer (CLI-compatible with the reference train_gnmt.py).
+
+Reference surface: flags train_gnmt.py:48-119, model build :145-229, loop :305-496.
+TPU-native differences: the per-step Python RNN unrolls become scanned layers, beam
+search runs as one jitted program per bucket shape, and batches arrive uint8/float32
+through the bucketed loader with static per-bucket shapes (one compile per bucket).
+
+Uses a module-local flag namespace so it can coexist in-process with
+tennis_tpu.train (the reference keeps the same flag names with different defaults
+in each script).
+
+Run: ``python -m tennis_tpu.train_gnmt --model_id 0102 --feats_model 0006 ...``
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+from absl import flags, logging
+
+FLAGS = flags.FlagValues()
+
+flags.DEFINE_string("root", "data", "Dataset root", flag_values=FLAGS)
+flags.DEFINE_string("model_id", "0000", "model id", flag_values=FLAGS)
+flags.DEFINE_integer("epochs", 40, "training epochs", flag_values=FLAGS)
+flags.DEFINE_integer("num_hidden", 128, "state dim", flag_values=FLAGS)
+flags.DEFINE_integer("emb_size", 100, "embedding dim", flag_values=FLAGS)
+flags.DEFINE_float("dropout", 0.2, "dropout", flag_values=FLAGS)
+flags.DEFINE_integer("num_layers", 2, "encoder/decoder layers", flag_values=FLAGS)
+flags.DEFINE_integer("num_bi_layers", 1, "bidirectional layers", flag_values=FLAGS)
+flags.DEFINE_string("cell_type", "gru", "gru or lstm", flag_values=FLAGS)
+flags.DEFINE_integer("batch_size", 128, "train batch size", flag_values=FLAGS)
+flags.DEFINE_integer("beam_size", 4, "beam size", flag_values=FLAGS)
+flags.DEFINE_float("lp_alpha", 1.0, "length penalty alpha", flag_values=FLAGS)
+flags.DEFINE_integer("lp_k", 5, "length penalty K", flag_values=FLAGS)
+flags.DEFINE_integer("test_batch_size", 32, "eval batch size", flag_values=FLAGS)
+flags.DEFINE_integer("num_buckets", 5, "bucket count", flag_values=FLAGS)
+flags.DEFINE_string("bucket_scheme", "constant", "constant|linear|exp",
+                    flag_values=FLAGS)
+flags.DEFINE_float("bucket_ratio", 0.0, "bucket throughput ratio",
+                   flag_values=FLAGS)
+flags.DEFINE_integer("tgt_max_len", 50, "max caption length", flag_values=FLAGS)
+flags.DEFINE_string("optimizer", "adam", "optimizer", flag_values=FLAGS)
+flags.DEFINE_float("lr", 1e-3, "learning rate", flag_values=FLAGS)
+flags.DEFINE_float("lr_update_factor", 0.5, "LR decay factor", flag_values=FLAGS)
+flags.DEFINE_float("clip", 5.0, "gradient clip", flag_values=FLAGS)
+flags.DEFINE_integer("log_interval", 100, "log every N batches", flag_values=FLAGS)
+flags.DEFINE_integer("num_devices", -1, "devices (num_gpus analogue)",
+                     flag_values=FLAGS)
+flags.DEFINE_string("backbone", "DenseNet121", "CNN backbone (pixels path)",
+                    flag_values=FLAGS)
+flags.DEFINE_string("backbone_from_id", None, "backbone weights source exp id",
+                    flag_values=FLAGS)
+flags.DEFINE_bool("freeze_backbone", False, "freeze backbone", flag_values=FLAGS)
+flags.DEFINE_integer("data_shape", 512, "input crop side", flag_values=FLAGS)
+flags.DEFINE_integer("every", 1, "every nth frame", flag_values=FLAGS)
+flags.DEFINE_string("feats_model", None, "load features from this model id",
+                    flag_values=FLAGS)
+flags.DEFINE_string("emb_file", "embeddings-ex.txt",
+                    "word-embedding file from train_embeddings.py",
+                    flag_values=FLAGS)
+flags.DEFINE_integer("num_workers", 8, "loader threads", flag_values=FLAGS)
+flags.DEFINE_integer("seed", 100, "rng seed (reference seeds 100/10000)",
+                     flag_values=FLAGS)
+flags.DEFINE_integer("max_batches", -1, "debug batch limit", flag_values=FLAGS)
+
+
+def build_model(vocab_size: int):
+    import jax.numpy as jnp
+
+    from tennis_tpu.models.gnmt import NMTModel, get_gnmt_encoder_decoder
+
+    encoder, decoder = get_gnmt_encoder_decoder(
+        cell_type=FLAGS.cell_type, num_layers=FLAGS.num_layers,
+        num_bi_layers=FLAGS.num_bi_layers, hidden_size=FLAGS.num_hidden,
+        dropout=FLAGS.dropout,
+    )
+    src_embed = None
+    if FLAGS.feats_model is None:
+        from tennis_tpu.models import get_backbone
+
+        # pixels path: TimeDistributed CNN backbone as src_embed
+        # (reference train_gnmt.py:145-170)
+        src_embed = get_backbone(FLAGS.backbone, dtype=jnp.float32)
+    return NMTModel(vocab_size=vocab_size, encoder=encoder, decoder=decoder,
+                    embed_size=FLAGS.emb_size, src_embed=src_embed)
+
+
+def make_datasets():
+    from tennis_tpu.data import TennisSet
+
+    common = dict(root=FLAGS.root, captions=True, every=FLAGS.every,
+                  feats_model=FLAGS.feats_model)
+    data_train = TennisSet(split="train", max_cap_len=FLAGS.tgt_max_len, **common)
+    data_val = TennisSet(split="val", vocab=data_train.vocab, inference=True,
+                         **common)
+    data_test = TennisSet(split="test", vocab=data_train.vocab, inference=True,
+                          **common)
+    return data_train, data_val, data_test
+
+
+def train(argv=None):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tennis_tpu.data.bucketing import BucketedCaptionLoader
+    from tennis_tpu.data.vocab import load_embeddings
+    from tennis_tpu.metrics.nlg import nlg_metric_suite
+    from tennis_tpu.models.gnmt import masked_ce_loss
+    from tennis_tpu.translation import BeamSearchTranslator
+    from tennis_tpu.utils import checkpoint as ckpt
+    from tennis_tpu.utils.experiments import (
+        experiment_dir, setup_logging, summary_writer,
+    )
+
+    exp_dir = experiment_dir("captioning", FLAGS.model_id)
+    setup_logging(exp_dir, {name: FLAGS[name].value for name in FLAGS})
+    tb = summary_writer(exp_dir)
+
+    data_train, data_val, data_test = make_datasets()
+    vocab = data_train.vocab
+    logging.info("vocab size %d", len(vocab))
+    logging.info(data_train.stats())
+
+    val_tgt = data_val.get_captions(split=True)
+    test_tgt = data_test.get_captions(split=True)
+    _write_sentences(val_tgt, os.path.join(exp_dir, "val_gt.txt"))
+    _write_sentences(test_tgt, os.path.join(exp_dir, "test_gt.txt"))
+
+    model = build_model(len(vocab))
+
+    loaders = {
+        "train": BucketedCaptionLoader(
+            data_train, FLAGS.batch_size, FLAGS.num_buckets, FLAGS.bucket_scheme,
+            FLAGS.bucket_ratio, shuffle=True, seed=FLAGS.seed,
+            num_workers=FLAGS.num_workers, pad_multiple=8,
+        ),
+        "val": BucketedCaptionLoader(
+            data_val, FLAGS.test_batch_size, FLAGS.num_buckets,
+            FLAGS.bucket_scheme, FLAGS.bucket_ratio, shuffle=False,
+            num_workers=FLAGS.num_workers, pad_multiple=8,
+        ),
+        "test": BucketedCaptionLoader(
+            data_test, FLAGS.test_batch_size, FLAGS.num_buckets,
+            FLAGS.bucket_scheme, FLAGS.bucket_ratio, shuffle=False,
+            num_workers=FLAGS.num_workers, pad_multiple=8,
+        ),
+    }
+
+    # sample shapes from the first train batch
+    first = next(iter(loaders["train"]))
+    src0, tgt0 = first[0], first[1]
+
+    rng = jax.random.PRNGKey(FLAGS.seed)
+    variables = jax.jit(model.init)(
+        rng, jnp.asarray(src0[:1]), jnp.asarray(tgt0[:1, :-1])
+    )
+    params = variables["params"]
+    logging.info("params: %.2fM", ckpt.param_count(params) / 1e6)
+
+    # pretrained target embeddings (reference train_gnmt.py:211-218)
+    emb_path = os.path.join(FLAGS.root, FLAGS.emb_file) if FLAGS.emb_file else None
+    if emb_path and os.path.exists(emb_path):
+        emb = load_embeddings(emb_path, vocab, FLAGS.emb_size)
+        params = dict(params)
+        params["tgt_embed"] = {"embedding": jnp.asarray(emb)}
+        logging.info("loaded tgt embeddings from %s", emb_path)
+    elif FLAGS.emb_file:
+        logging.warning("embedding file %s not found; training tgt_embed from "
+                        "scratch", emb_path)
+
+    lr = FLAGS.lr
+    opt = optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(
+            optax.clip_by_global_norm(FLAGS.clip),
+            optax.adam(learning_rate) if FLAGS.optimizer == "adam"
+            else optax.sgd(learning_rate),
+        )
+    )(lr)
+    opt_state = opt.init(params)
+
+    start_epoch = ckpt.resume_epoch(exp_dir)
+    if start_epoch > 0:
+        restored = ckpt.load_state(
+            ckpt.epoch_path(exp_dir, start_epoch - 1),
+            {"params": params, "opt_state": opt_state},
+        )
+        params, opt_state = restored["params"], restored["opt_state"]
+        logging.info("resumed from epoch %d", start_epoch - 1)
+
+    @jax.jit
+    def train_step(params, opt_state, src, tgt, src_vl, tgt_vl, dropout_rng):
+        def loss_fn(p):
+            logits = model.apply(
+                {"params": p}, src, tgt[:, :-1], src_vl, tgt_vl - 1, train=True,
+                rngs={"dropout": dropout_rng},
+            )
+            return masked_ce_loss(logits, tgt[:, 1:], tgt_vl - 1)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def eval_loss_step(params, src, tgt, src_vl, tgt_vl):
+        logits = model.apply({"params": params}, src, tgt[:, :-1], src_vl,
+                             tgt_vl - 1)
+        return masked_ce_loss(logits, tgt[:, 1:], tgt_vl - 1)
+
+    translator = BeamSearchTranslator(
+        model, bos_id=vocab[vocab.bos_token], eos_id=vocab[vocab.eos_token],
+        beam_size=FLAGS.beam_size, alpha=FLAGS.lp_alpha, K=FLAGS.lp_k,
+        max_length=FLAGS.tgt_max_len + 20,
+    )
+    logging.info("beam_size=%d alpha=%.2f K=%d", FLAGS.beam_size, FLAGS.lp_alpha,
+                 FLAGS.lp_k)
+
+    def evaluate(split, tgt_sentences):
+        losses, hyps, order = [], [], []
+        for batch in loaders[split]:
+            src, tgt, src_vl, tgt_vl, idxs = batch
+            losses.append(float(eval_loss_step(
+                params, jnp.asarray(src), jnp.asarray(tgt),
+                jnp.asarray(src_vl), jnp.asarray(tgt_vl)
+            )))
+            toks = translator.translate_tokens(
+                {"params": params}, src, src_vl, vocab
+            )
+            hyps.extend(toks)
+            order.extend(int(i) for i in idxs)
+        # restore dataset order (buckets permute samples)
+        hyps_ordered = [None] * len(hyps)
+        for pos, ds_idx in enumerate(order):
+            hyps_ordered[ds_idx] = hyps[pos]
+        suite = nlg_metric_suite([[t] for t in tgt_sentences], hyps_ordered)
+        return float(np.mean(losses)), suite, hyps_ordered
+
+    best_bleu = -1.0
+    dropout_key = jax.random.PRNGKey(FLAGS.seed + 1)
+    for epoch in range(start_epoch, FLAGS.epochs):
+        loaders["train"].set_epoch(epoch)
+        tic = time.time()
+        n_tokens, n_batches, loss_sum = 0, 0, 0.0
+        for batch in loaders["train"]:
+            src, tgt, src_vl, tgt_vl = batch[:4]
+            dropout_key, sub = jax.random.split(dropout_key)
+            params, opt_state, loss = train_step(
+                params, opt_state, jnp.asarray(src), jnp.asarray(tgt),
+                jnp.asarray(src_vl), jnp.asarray(tgt_vl), sub,
+            )
+            n_batches += 1
+            n_tokens += int(tgt_vl.sum())
+            if n_batches % FLAGS.log_interval == 0 or n_batches == 1:
+                loss_v = float(loss)
+                wps = n_tokens / max(time.time() - tic, 1e-6)
+                logging.info("[Epoch %d][Batch %d] loss=%.4f ppl=%.2f %.1fK wps",
+                             epoch, n_batches, loss_v, np.exp(min(loss_v, 20)),
+                             wps / 1000)
+                if tb:
+                    tb.add_scalar("train/loss", loss_v, epoch * 10000 + n_batches)
+            if 0 < FLAGS.max_batches <= n_batches:
+                break
+
+        val_loss, val_suite, val_hyps = evaluate("val", val_tgt)
+        test_loss, test_suite, test_hyps = evaluate("test", test_tgt)
+        bleu4 = val_suite["Bleu_4"] * 100
+        logging.info("[Epoch %d] val loss=%.4f BLEU4=%.2f suite=%s (%.1fs)",
+                     epoch, val_loss, bleu4,
+                     {k: round(v, 4) for k, v in val_suite.items()},
+                     time.time() - tic)
+        if tb:
+            for k, v in val_suite.items():
+                tb.add_scalar(f"val/{k}", v, epoch)
+            for k, v in test_suite.items():
+                tb.add_scalar(f"test/{k}", v, epoch)
+
+        _write_sentences(val_hyps, os.path.join(exp_dir, f"epoch{epoch}_val_out.txt"))
+        _write_sentences(test_hyps,
+                         os.path.join(exp_dir, f"epoch{epoch}_test_out.txt"))
+        ckpt.save_state(ckpt.epoch_path(exp_dir, epoch),
+                        {"params": params, "opt_state": opt_state})
+        ckpt.append_score(exp_dir, epoch, bleu4)
+        if bleu4 > best_bleu:
+            best_bleu = bleu4
+            # params only: the evaluator restores without optimizer state
+            ckpt.save_state(os.path.join(exp_dir, "valid_best.params"),
+                            {"params": params})
+            _write_sentences(test_hyps, os.path.join(exp_dir, "best_test_out.txt"))
+            logging.info("new best BLEU4 %.2f at epoch %d", bleu4, epoch)
+
+        # LR decay ×factor each epoch in the last third (reference
+        # train_gnmt.py:456-459)
+        if epoch + 1 >= (FLAGS.epochs * 2) // 3:
+            lr *= FLAGS.lr_update_factor
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+            logging.info("lr decayed to %g", lr)
+
+    return params
+
+
+def _write_sentences(sentences, path):
+    with open(path, "w", encoding="utf-8") as f:
+        for s in sentences:
+            f.write((" ".join(s) if isinstance(s, (list, tuple)) else str(s)) + "\n")
+
+
+def main(argv=None):
+    FLAGS(argv if argv is not None else sys.argv)
+    return train()
+
+
+if __name__ == "__main__":
+    main()

@@ -18,10 +18,16 @@ VIDEO_EVENTS = {
 
 POINTS = [
     # id, video, start, end, extra-field, caption
+    # train-split points (start frame < 40)
     ("p001", "V900", 18, 30, "x", "player serves an ace to the far side"),
     ("p002", "V900", 38, 48, "x", "a quick forehand winner down the line"),
     ("p003", "V901", 8, 18, "x", "player serves into the net"),
     ("p004", "V901", 28, 38, "x", "a long rally ends with a backhand error"),
+    # val-split points (start frame in [40, 50))
+    ("p005", "V900", 42, 50, "x", "player serves an ace down the line"),
+    ("p006", "V901", 44, 50, "x", "a forehand winner to the far side"),
+    # test-split points (start frame in [50, 60); V901 only has 50 frames)
+    ("p007", "V900", 52, 58, "x", "player serves into the net again"),
 ]
 
 

@@ -1,0 +1,90 @@
+"""End-to-end smoke of the CLI drivers on the synthetic fixture (tiny configs)."""
+import os
+
+import numpy as np
+import pytest
+
+from fixtures import build_fixture
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    workdir = tmp_path_factory.mktemp("exp")
+    root = build_fixture(tmp_path_factory.mktemp("ds"))
+    old = os.getcwd()
+    os.chdir(workdir)  # experiment dirs are cwd-relative
+    yield str(root), str(workdir)
+    os.chdir(old)
+
+
+def test_train_evaluate_vision_cycle(env):
+    import sys
+
+    root, workdir = env
+    from absl import app
+
+    from tennis_tpu import train as train_driver
+
+    argv_train = [
+        "train.py", f"--root={root}", "--model_id=t1", "--backbone=resnet18_v2",
+        "--data_shape=32", "--batch_size=8", "--epochs=1", "--log_interval=10",
+        "--num_workers=2",
+    ]
+    try:
+        app.run(train_driver.main, argv=argv_train)
+    except SystemExit:
+        pass
+    exp = os.path.join(workdir, "models", "vision", "experiments", "t1")
+    assert os.path.exists(os.path.join(exp, "0000.params"))
+    assert os.path.exists(os.path.join(exp, "scores.txt"))
+
+    # save features from the trained model, then a CNNRNN run on them
+    argv_feats = argv_train[:-1] + ["--save_feats"]
+    try:
+        app.run(train_driver.main, argv=argv_feats)
+    except SystemExit:
+        pass
+    feats = [
+        f for _, _, files in os.walk(os.path.join(root, "features", "t1"))
+        for f in files if f.endswith(".npy")
+    ]
+    assert len(feats) > 0
+
+
+def test_train_gnmt_cycle(env):
+    root, workdir = env
+    from tennis_tpu.train_gnmt import main as gnmt_main
+
+    # make a tiny feature store for the captioner
+    from tennis_tpu.data.tennis_set import get_feature_path
+
+    rng = np.random.default_rng(0)
+    # features for every on-disk frame
+    for video in ("V900", "V901"):
+        n = 60 if video == "V900" else 50
+        for frame in range(n):
+            path = get_feature_path(os.path.join(root, "features", "tf"), video,
+                                    frame)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            np.save(path, rng.normal(size=(32,)).astype(np.float32))
+
+    gnmt_main([
+        "train_gnmt.py", f"--root={root}", "--model_id=g1", "--feats_model=tf",
+        "--epochs=1", "--batch_size=4", "--test_batch_size=4", "--num_hidden=16",
+        "--emb_size=8", "--num_buckets=2", "--tgt_max_len=10", "--emb_file=",
+        "--log_interval=10",
+    ])
+    exp = os.path.join(workdir, "models", "captioning", "experiments", "g1")
+    assert os.path.exists(os.path.join(exp, "valid_best.params"))
+    assert os.path.exists(os.path.join(exp, "val_gt.txt"))
+    assert os.path.exists(os.path.join(exp, "best_test_out.txt"))
+
+    from tennis_tpu.evaluate_gnmt import main as eval_main
+
+    suite = eval_main([
+        "evaluate_gnmt.py", f"--root={root}", "--model_id=g1", "--feats_model=tf",
+        "--num_hidden=16", "--emb_size=8", "--num_buckets=2", "--tgt_max_len=10",
+        "--test_batch_size=4", "--emb_file=",
+    ])
+    assert set(suite) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR",
+                          "ROUGE_L", "CIDEr"}
