@@ -45,4 +45,6 @@ def backbone_feature_dim(name: str, data_shape: int = 512) -> int:
         return final_c * max(side, 1) ** 2
     if key.startswith("resnet") and key.endswith("v2"):
         return RESNET_SPECS[int(key[len("resnet"):-2])].final_channels
+    if key == "rdnet":  # R(2+1)D-34 pooled features
+        return 512
     raise ValueError(f"unknown backbone {name!r}")

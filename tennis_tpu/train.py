@@ -72,8 +72,10 @@ def build_model(num_classes: int, feats: bool):
     elif FLAGS.backbone.lower() == "rdnet":
         from tennis_tpu.models.r21d import get_r21d
 
-        return get_r21d(num_layers=34, n_classes=num_classes, t=FLAGS.window,
+        assert FLAGS.window in (8, 32), "rdnet needs --window 8 or 32"
+        base = get_r21d(num_layers=34, n_classes=num_classes, t=FLAGS.window,
                         dtype=dtype)
+        return FrameModel(base, num_classes, dtype=dtype)
     elif FLAGS.flow in ("twos", "only"):
         rgb = None if FLAGS.flow == "only" else get_backbone(FLAGS.backbone,
                                                              dtype=dtype)
