@@ -42,7 +42,7 @@ def evaluate_model():
     _, _, test_set = train_driver.make_datasets()
     logging.info(test_set)
 
-    feats = FLAGS.feats_model is not None
+    feats = bool(FLAGS.feats_model)
     model = train_driver.build_model(test_set.num_class, feats)
     feat_dim = backbone_feature_dim(FLAGS.backbone, FLAGS.data_shape)
 
@@ -68,6 +68,22 @@ def evaluate_model():
         best = (latest, float("nan"))
     state = ckpt.load_state(ckpt.epoch_path(exp_dir, best[0]), state)
     logging.info("loaded epoch %d (score=%s)", best[0], best[1])
+
+    if FLAGS.save_feats:  # feature dump from the best epoch (reference
+        # evaluate.py:186-204,306-321)
+        train_set, val_set, _ = train_driver.make_datasets()
+        loaders = {
+            split: DataLoader(
+                ds, batch_size=FLAGS.batch_size, shuffle=False,
+                num_workers=FLAGS.num_workers if FLAGS.num_workers > 0 else 8,
+                transform=None if feats else train_driver._geometry_transform(False),
+            )
+            for split, ds in (("train", train_set), ("val", val_set),
+                              ("test", test_set))
+        }
+        train_driver.save_features(model, state, [train_set, val_set, test_set],
+                                   loaders, mesh)
+        return {}, {}, {}
 
     @jax.jit
     def eval_step(params, batch_stats, images):

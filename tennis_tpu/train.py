@@ -119,7 +119,7 @@ def make_datasets():
     common = dict(
         root=FLAGS.root, split_id=FLAGS.split_id, padding=FLAGS.padding,
         stride=FLAGS.stride, window=FLAGS.window, model_id=FLAGS.model_id,
-        flow=bool(FLAGS.flow), feats_model=FLAGS.feats_model,
+        flow=bool(FLAGS.flow), feats_model=FLAGS.feats_model or None,
         save_feats=FLAGS.save_feats,
     )
     train_set = TennisSet(split="train", every=every[0], balance=balance_train,
@@ -175,7 +175,7 @@ def train_and_evaluate():
     logging.info(val_set)
     logging.info(test_set)
 
-    feats = FLAGS.feats_model is not None
+    feats = bool(FLAGS.feats_model)
     num_classes = train_set.num_class
     feat_dim = backbone_feature_dim(FLAGS.backbone, FLAGS.data_shape)
     model = build_model(num_classes, feats)

@@ -276,6 +276,18 @@ def train(argv=None):
                 tb.add_scalar(f"val/{k}", v, epoch)
             for k, v in test_suite.items():
                 tb.add_scalar(f"test/{k}", v, epoch)
+            # GT-vs-pred text panels + target-embedding projector dump
+            # (reference train_gnmt.py:364-370,398-400)
+            from tennis_tpu.utils.captioning import get_comp_str
+
+            tb.add_text("val/captions",
+                        get_comp_str(val_tgt[:8], val_hyps[:8]), epoch)
+            try:
+                emb = np.asarray(params["tgt_embed"]["embedding"])
+                tb.add_embedding(emb, metadata=vocab.idx_to_token,
+                                 tag="tgt_embed", global_step=epoch)
+            except Exception:  # projector support is best-effort
+                pass
 
         _write_sentences(val_hyps, os.path.join(exp_dir, f"epoch{epoch}_val_out.txt"))
         _write_sentences(test_hyps,
