@@ -391,32 +391,18 @@ def _load_backbone_from(state, from_id):
 
 
 def _load_pretrained_backbone(state, npz_path):
-    """Load converted pretrained backbone weights from a flat .npz
-    ('/'-joined param paths, as written by models/convert.py)."""
+    """Load converted pretrained weights from a flat .npz ('/'-joined param paths
+    with batch_stats:: markers, as written by models/convert.py)."""
     import jax
 
+    from tennis_tpu.models.convert import inject_npz
+
     flat = dict(np.load(npz_path))
-    params = jax.tree_util.tree_map(lambda x: x, state.params)  # shallow copy
-
-    def inject(tree, prefix=""):
-        loaded = 0
-        for k, v in list(tree.items()):
-            path = f"{prefix}{k}"
-            if isinstance(v, dict):
-                loaded += inject(v, path + "/")
-            elif path in flat:
-                assert flat[path].shape == v.shape, (path, flat[path].shape, v.shape)
-                tree[k] = np.asarray(flat[path], v.dtype)
-                loaded += 1
-        return loaded
-
-    params = jax.tree_util.tree_map(np.asarray, params)
-    import flax
-
-    params = flax.core.unfreeze(params) if hasattr(flax.core, "unfreeze") else params
-    n = inject(params)
+    params = jax.tree_util.tree_map(np.asarray, state.params)
+    stats = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+    params, stats, n = inject_npz(params, stats, flat)
     logging.info("loaded %d pretrained arrays from %s", n, npz_path)
-    return state.replace(params=params)
+    return state.replace(params=params, batch_stats=stats)
 
 
 def main(_argv):

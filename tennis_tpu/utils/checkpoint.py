@@ -90,3 +90,23 @@ def resume_epoch(exp_dir: str) -> int:
 
 def param_count(params) -> int:
     return int(sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(params)))
+
+
+# ------------------------------------------------------------- orbax backend
+# For pod-scale states (sharded params that don't fit one host), the msgpack
+# single-file format above is replaced by orbax directory checkpoints; the epoch
+# naming/scores conventions stay identical (``{epoch:04d}.orbax`` directories).
+
+
+def save_state_orbax(path: str, state) -> None:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), state, force=True)
+
+
+def load_state_orbax(path: str, target):
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path), target)
