@@ -62,8 +62,13 @@ def evaluate(argv=None):
         best_path = os.path.join(exp_dir, "valid_best.params")
         if not os.path.exists(best_path):
             raise FileNotFoundError(f"{best_path} (train first)")
-        restored = ckpt.load_state(best_path, {"params": variables["params"]})
+        restored = ckpt.load_state(
+            best_path,
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})},
+        )
         params = restored["params"]
+        batch_stats = restored["batch_stats"]
         logging.info("loaded %s", best_path)
 
         translator = BeamSearchTranslator(
@@ -74,8 +79,10 @@ def evaluate(argv=None):
         hyps, order = [], []
         for batch in loader:
             src, tgt, src_vl, tgt_vl, idxs = batch
-            hyps.extend(translator.translate_tokens({"params": params}, src,
-                                                    src_vl, vocab))
+            hyps.extend(translator.translate_tokens(
+                {"params": params, "batch_stats": batch_stats}, src, src_vl,
+                vocab,
+            ))
             order.extend(int(i) for i in idxs)
         ordered = [None] * len(hyps)
         for pos, ds_idx in enumerate(order):

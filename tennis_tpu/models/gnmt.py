@@ -184,6 +184,10 @@ class NMTModel(nn.Module):
             return src.astype(self.dtype)
         B, T = src.shape[:2]
         flat = src.reshape((B * T,) + src.shape[2:])
+        if flat.dtype == jnp.uint8:  # raw frames: fused normalize on device
+            from tennis_tpu.data.transforms import device_prepare
+
+            flat = device_prepare(flat, dtype=self.dtype)
         emb = self.src_embed(flat, train=train)
         return emb.reshape((B, T, -1))
 

@@ -91,8 +91,16 @@ def build_model(vocab_size: int):
 def make_datasets():
     from tennis_tpu.data import TennisSet
 
+    transform = None
+    if not FLAGS.feats_model:
+        # pixels path: per-frame Resize(+32)+CenterCrop geometry on the host
+        # (reference train_gnmt.py:163-176; augmentation happens on device)
+        from tennis_tpu.data import transforms as T
+
+        transform = lambda img: T.test_geometry(img, FLAGS.data_shape)
+
     common = dict(root=FLAGS.root, captions=True, every=FLAGS.every,
-                  feats_model=FLAGS.feats_model)
+                  feats_model=FLAGS.feats_model or None, transform=transform)
     data_train = TennisSet(split="train", max_cap_len=FLAGS.tgt_max_len, **common)
     data_val = TennisSet(split="val", vocab=data_train.vocab, inference=True,
                          **common)
@@ -159,6 +167,7 @@ def train(argv=None):
         rng, jnp.asarray(src0[:1]), jnp.asarray(tgt0[:1, :-1])
     )
     params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})  # pixels path: backbone BN
     logging.info("params: %.2fM", ckpt.param_count(params) / 1e6)
 
     # pretrained target embeddings (reference train_gnmt.py:211-218)
@@ -186,28 +195,33 @@ def train(argv=None):
     if start_epoch > 0:
         restored = ckpt.load_state(
             ckpt.epoch_path(exp_dir, start_epoch - 1),
-            {"params": params, "opt_state": opt_state},
+            {"params": params, "batch_stats": batch_stats,
+             "opt_state": opt_state},
         )
         params, opt_state = restored["params"], restored["opt_state"]
+        batch_stats = restored["batch_stats"]
         logging.info("resumed from epoch %d", start_epoch - 1)
 
     @jax.jit
-    def train_step(params, opt_state, src, tgt, src_vl, tgt_vl, dropout_rng):
+    def train_step(params, batch_stats, opt_state, src, tgt, src_vl, tgt_vl,
+                   dropout_rng):
         def loss_fn(p):
-            logits = model.apply(
-                {"params": p}, src, tgt[:, :-1], src_vl, tgt_vl - 1, train=True,
-                rngs={"dropout": dropout_rng},
+            logits, mutated = model.apply(
+                {"params": p, "batch_stats": batch_stats}, src, tgt[:, :-1],
+                src_vl, tgt_vl - 1, train=True, rngs={"dropout": dropout_rng},
+                mutable=["batch_stats"],
             )
-            return masked_ce_loss(logits, tgt[:, 1:], tgt_vl - 1)
+            return (masked_ce_loss(logits, tgt[:, 1:], tgt_vl - 1),
+                    mutated["batch_stats"])
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return optax.apply_updates(params, updates), new_bs, opt_state, loss
 
     @jax.jit
-    def eval_loss_step(params, src, tgt, src_vl, tgt_vl):
-        logits = model.apply({"params": params}, src, tgt[:, :-1], src_vl,
-                             tgt_vl - 1)
+    def eval_loss_step(params, batch_stats, src, tgt, src_vl, tgt_vl):
+        logits = model.apply({"params": params, "batch_stats": batch_stats},
+                             src, tgt[:, :-1], src_vl, tgt_vl - 1)
         return masked_ce_loss(logits, tgt[:, 1:], tgt_vl - 1)
 
     translator = BeamSearchTranslator(
@@ -223,11 +237,12 @@ def train(argv=None):
         for batch in loaders[split]:
             src, tgt, src_vl, tgt_vl, idxs = batch
             losses.append(float(eval_loss_step(
-                params, jnp.asarray(src), jnp.asarray(tgt),
+                params, batch_stats, jnp.asarray(src), jnp.asarray(tgt),
                 jnp.asarray(src_vl), jnp.asarray(tgt_vl)
             )))
             toks = translator.translate_tokens(
-                {"params": params}, src, src_vl, vocab
+                {"params": params, "batch_stats": batch_stats}, src, src_vl,
+                vocab,
             )
             hyps.extend(toks)
             order.extend(int(i) for i in idxs)
@@ -247,9 +262,9 @@ def train(argv=None):
         for batch in loaders["train"]:
             src, tgt, src_vl, tgt_vl = batch[:4]
             dropout_key, sub = jax.random.split(dropout_key)
-            params, opt_state, loss = train_step(
-                params, opt_state, jnp.asarray(src), jnp.asarray(tgt),
-                jnp.asarray(src_vl), jnp.asarray(tgt_vl), sub,
+            params, batch_stats, opt_state, loss = train_step(
+                params, batch_stats, opt_state, jnp.asarray(src),
+                jnp.asarray(tgt), jnp.asarray(src_vl), jnp.asarray(tgt_vl), sub,
             )
             n_batches += 1
             n_tokens += int(tgt_vl.sum())
@@ -293,13 +308,14 @@ def train(argv=None):
         _write_sentences(test_hyps,
                          os.path.join(exp_dir, f"epoch{epoch}_test_out.txt"))
         ckpt.save_state(ckpt.epoch_path(exp_dir, epoch),
-                        {"params": params, "opt_state": opt_state})
+                        {"params": params, "batch_stats": batch_stats,
+                         "opt_state": opt_state})
         ckpt.append_score(exp_dir, epoch, bleu4)
         if bleu4 > best_bleu:
             best_bleu = bleu4
-            # params only: the evaluator restores without optimizer state
+            # no optimizer state: the evaluator restores params + stats only
             ckpt.save_state(os.path.join(exp_dir, "valid_best.params"),
-                            {"params": params})
+                            {"params": params, "batch_stats": batch_stats})
             _write_sentences(test_hyps, os.path.join(exp_dir, "best_test_out.txt"))
             logging.info("new best BLEU4 %.2f at epoch %d", bleu4, epoch)
 
