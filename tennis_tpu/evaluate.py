@@ -43,7 +43,19 @@ def evaluate_model():
     logging.info(test_set)
 
     feats = bool(FLAGS.feats_model)
-    model = train_driver.build_model(test_set.num_class, feats)
+    # --temp_pool max/mean with a window evaluates a *framewise-trained* model
+    # with its per-frame logits pooled over the window (reference train.py:348-350
+    # wraps TemporalPooling around the trained FrameModel); the checkpoint tree is
+    # the plain FrameModel's, so build that and pool in the eval step.
+    pool_eval = FLAGS.temp_pool in ("max", "mean") and FLAGS.window > 1 and not feats
+    if pool_eval:
+        from tennis_tpu.models import FrameModel, get_backbone
+        import jax.numpy as _jnp
+
+        model = FrameModel(get_backbone(FLAGS.backbone, dtype=_jnp.bfloat16),
+                           test_set.num_class)
+    else:
+        model = train_driver.build_model(test_set.num_class, feats)
     feat_dim = backbone_feature_dim(FLAGS.backbone, FLAGS.data_shape)
 
     loader = DataLoader(
@@ -55,10 +67,13 @@ def evaluate_model():
     mesh = make_mesh()
     tx, _ = sgd_with_schedule(FLAGS.lr)
     rng = jax.random.PRNGKey(FLAGS.seed)
-    sample = jnp.zeros(
-        train_driver._sample_shape(test_set.num_class, feats, feat_dim), jnp.float32
+    c = 6 if FLAGS.flow else 3
+    sample_shape = (
+        (1, FLAGS.data_shape, FLAGS.data_shape, c) if pool_eval
+        else train_driver._sample_shape(test_set.num_class, feats, feat_dim)
     )
-    state = create_train_state(model, rng, sample, tx, {"train": True})
+    state = create_train_state(model, rng, jnp.zeros(sample_shape, jnp.float32),
+                               tx, {"train": True})
 
     best = ckpt.best_epoch(exp_dir)
     if best is None:
@@ -90,9 +105,17 @@ def evaluate_model():
         if images.dtype == jnp.uint8:
             flat = images.reshape((-1,) + images.shape[-3:])
             images = device_prepare(flat).reshape(images.shape)
-        logits = model.apply(
-            {"params": params, "batch_stats": batch_stats}, images, train=False
-        )
+        variables = {"params": params, "batch_stats": batch_stats}
+        if pool_eval:  # (B, T, H, W, C): per-frame logits → pool over the window
+            B, T = images.shape[:2]
+            logits = model.apply(
+                variables, images.reshape((B * T,) + images.shape[2:]),
+                train=False,
+            ).reshape(B, T, -1)
+            logits = (jnp.mean(logits, axis=1) if FLAGS.temp_pool == "mean"
+                      else jnp.max(logits, axis=1))
+        else:
+            logits = model.apply(variables, images, train=False)
         return jax.nn.softmax(logits, axis=-1)
 
     from tennis_tpu.parallel.mesh import pad_batch

@@ -194,6 +194,46 @@ class FlowRunner:
         return img, flow
 
 
+def process_video(input_path: str, output_path=None, params_path=None,
+                  batch_size: int = 8, fps: int = 30):
+    """Video file → flow-visualisation video (reference run.py:89-133): decode
+    frames, run adjacent-pair flow in device batches, write an mp4 of the colour
+    images."""
+    import cv2
+
+    cap = cv2.VideoCapture(input_path)
+    frames = []
+    while True:
+        ret, img = cap.read()
+        if not ret or img is None:
+            if len(frames) and not ret:
+                break
+            if len(frames) > 500:
+                break
+            continue
+        frames.append(crop_to_64(cv2.cvtColor(img, cv2.COLOR_BGR2RGB)))
+    cap.release()
+    if len(frames) < 2:
+        print(f"{input_path}: not enough frames for flow")
+        return None
+
+    runner = FlowRunner(params_path=params_path, batch_size=batch_size)
+    if output_path is None:
+        output_path = os.path.splitext(input_path)[0] + "_flow.mp4"
+    h, w = frames[0].shape[:2]
+    video = cv2.VideoWriter(output_path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                            (w, h))
+    pairs = [np.stack([frames[i - 1], frames[i]]) for i in range(1, len(frames))]
+    for start in range(0, len(pairs), batch_size):
+        flows = runner.flow_batch(np.stack(pairs[start : start + batch_size]))
+        for flow in flows:
+            img = flow_to_image(flow)
+            img = cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+            video.write(cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    video.release()
+    return output_path
+
+
 def generate_flows(image_dir: str, flow_dir: str = "flow", params_path=None,
                    batch_size: int = 8) -> None:
     """Recursive adjacent-pair flow generation mirroring the input tree
