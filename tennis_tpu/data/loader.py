@@ -12,7 +12,6 @@ each host takes a disjoint stripe, matching §5.8 of the design survey.
 """
 from __future__ import annotations
 
-import collections
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor

@@ -28,7 +28,7 @@ def evaluate_model():
     import jax
     import jax.numpy as jnp
 
-    from tennis_tpu.data.loader import DataLoader, prefetch_to_device
+    from tennis_tpu.data.loader import DataLoader
     from tennis_tpu.data.transforms import device_prepare
     from tennis_tpu.models import backbone_feature_dim
     from tennis_tpu.parallel import batch_sharding, create_train_state, make_mesh

@@ -12,7 +12,6 @@ train.py:404-431) with a single ``jax.jit`` step over a mesh:
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable
 
 import jax
