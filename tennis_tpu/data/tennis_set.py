@@ -399,6 +399,35 @@ class TennisSet:
         sample = self._samples[idx]
         return get_feature_path(self.feat_dir, sample[0], sample[1], chunk_size)
 
+    def calc_flow_mean_std(self, every: int = 100):
+        """Mean/std of the flow channels over every ``every``-th sample
+        (reference dataset.py:480-494); used to derive the TwoStream statistics."""
+        assert self._flow
+        sums = np.zeros(3)
+        stds = np.zeros(3)
+        count = 0
+        for i in range(0, len(self), every):
+            img = self[i][0]
+            flow = img[..., 3:].astype(np.float64) / 256.0
+            sums += flow.mean(axis=(0, 1))
+            stds += flow.std(axis=(0, 1))
+            count += 1
+        return tuple(sums / count) + tuple(stds / count)
+
+    def save_sample(self, idx, output_dir=None):
+        """Copy a sample's frame into the outputs tree (reference
+        dataset.py:457-478)."""
+        import cv2
+
+        sample = self._samples[idx]
+        img_path = get_image_path(self._frames_dir, sample[0], sample[1])
+        save_path = get_image_path(output_dir or self.output_dir, sample[0],
+                                   sample[1])
+        img = cv2.imread(img_path)
+        os.makedirs(os.path.dirname(save_path), exist_ok=True)
+        cv2.imwrite(save_path, img)
+        return save_path
+
     # ------------------------------------------------------------------ reporting
 
     def stats(self):

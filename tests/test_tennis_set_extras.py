@@ -1,0 +1,29 @@
+import os
+
+import numpy as np
+import pytest
+
+from tennis_tpu.data import TennisSet
+
+from fixtures import build_fixture
+
+
+@pytest.fixture(scope="module")
+def root(tmp_path_factory):
+    return build_fixture(tmp_path_factory.mktemp("tenniset"), with_flow=True)
+
+
+def test_calc_flow_mean_std(root):
+    ds = TennisSet(root=root, split="train", split_id="02", balance=False,
+                   flow=True)
+    stats = ds.calc_flow_mean_std(every=10)
+    assert len(stats) == 6
+    means, stds = stats[:3], stats[3:]
+    assert all(0.0 <= m <= 1.0 for m in means)
+    assert all(0.0 <= s <= 0.6 for s in stds)
+
+
+def test_save_sample(root, tmp_path):
+    ds = TennisSet(root=root, split="train", split_id="02", balance=False)
+    out = ds.save_sample(0, output_dir=str(tmp_path / "outputs"))
+    assert os.path.exists(out)
