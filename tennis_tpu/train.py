@@ -42,6 +42,7 @@ flags.DEFINE_integer("batch_size", 64, "Global batch size")
 flags.DEFINE_integer("epochs", 20, "Training epochs")
 flags.DEFINE_integer("num_devices", -1,
                      "Devices for the data axis (-1 = all; the num_gpus analogue)")
+flags.DEFINE_alias("num_gpus", "num_devices")  # reference CLI compatibility
 flags.DEFINE_integer("num_workers", -1, "Host loader threads (-1 = auto)")
 flags.DEFINE_float("lr", 0.001, "Learning rate")
 flags.DEFINE_float("lr_factor", 0.75, "LR step factor")
