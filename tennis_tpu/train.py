@@ -58,6 +58,9 @@ flags.DEFINE_integer("max_batches", -1, "Limit batches per epoch (debug)")
 flags.DEFINE_string("pretrained_npz", None,
                     "Optional converted pretrained backbone weights (.npz)")
 flags.DEFINE_integer("seed", 0, "Global RNG seed")
+flags.DEFINE_integer("profile_steps", 0,
+                     "Capture a jax.profiler trace of this many train steps into "
+                     "<exp_dir>/tb/profile (view with xprof/tensorboard)")
 
 
 def build_model(num_classes: int, feats: bool):
@@ -277,6 +280,7 @@ def train_and_evaluate():
                 m.update(labels[:n], logits[:n])
         return metrics
 
+    profile_left = FLAGS.profile_steps
     key = jax.random.PRNGKey(FLAGS.seed + 123)
     for epoch in range(start_epoch, FLAGS.epochs):
         loaders["train"].set_epoch(epoch)
@@ -286,6 +290,15 @@ def train_and_evaluate():
         for images, labels, _ in prefetch_to_device(iter(loaders["train"]),
                                                     bsharding):
             key, sub = jax.random.split(key)
+            if profile_left > 0 and n_batches == 1:  # skip the compile step
+                with jax.profiler.trace(os.path.join(exp_dir, "tb", "profile")):
+                    for _ in range(profile_left):
+                        key, sub = jax.random.split(key)
+                        state, loss, logits = train_step(state, images, labels,
+                                                         sub)
+                    jax.device_get(loss)
+                profile_left = 0
+                logging.info("profiler trace written to %s/tb/profile", exp_dir)
             state, loss, logits = train_step(state, images, labels, sub)
             n_batches += 1
             n_samples += labels.shape[0]
