@@ -100,3 +100,19 @@ def test_nmt_with_src_backbone():
     variables = model.init(RNG, src, tgt)
     logits = model.apply(variables, src, tgt)
     assert logits.shape == (1, 3, V)
+
+
+def test_encoder_valid_length_equals_truncated():
+    """Encoder states/outputs at valid_length must equal running on the truncated
+    sequence (MXNet unroll-with-valid_length semantics)."""
+    enc = GNMTEncoder(hidden_size=H, num_layers=2, num_bi_layers=1)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 7, 5))
+    params = enc.init(RNG, x, jnp.array([7]))
+    out_full, states_full = enc.apply(params, x, jnp.array([4]))
+    out_trunc, states_trunc = enc.apply(params, x[:, :4], jnp.array([4]))
+    np.testing.assert_allclose(np.asarray(out_full[:, :4]),
+                               np.asarray(out_trunc), atol=1e-5)
+    assert (np.asarray(out_full[:, 4:]) == 0).all()
+    for sf, st_ in zip(jax.tree_util.tree_leaves(states_full),
+                       jax.tree_util.tree_leaves(states_trunc)):
+        np.testing.assert_allclose(np.asarray(sf), np.asarray(st_), atol=1e-5)
