@@ -321,7 +321,12 @@ def train_and_evaluate():
         val_metrics = run_eval("val")
         scores = val_metrics["prf1"].get_dict()
         score = scores["AVG_NB_f1"]
-        logging.info("[Epoch %d] val AVG_NB_f1=%.4f (%.1fs)", epoch, score,
+        accs = {
+            name: m.get()[1]
+            for name, m in val_metrics.items() if name != "prf1"
+        }
+        logging.info("[Epoch %d] val AVG_NB_f1=%.4f %s (%.1fs)", epoch, score,
+                     {k: round(v, 4) for k, v in accs.items()},
                      time.time() - tic)
         if tb:
             tb.add_scalar("val/AVG_NB_f1", score, epoch)
@@ -334,6 +339,9 @@ def train_and_evaluate():
         state = ckpt.load_state(ckpt.epoch_path(exp_dir, best[0]), state)
         logging.info("loaded best epoch %d (AVG_NB_f1=%.4f)", best[0], best[1])
     test_metrics = run_eval("test")
+    for name, m in test_metrics.items():
+        if name != "prf1":
+            logging.info("test %s=%.4f", *m.get())
     for name, value in test_metrics["prf1"].get():
         logging.info("test %s=%.4f", name, value)
     logging.info("confusion:\n%s", test_metrics["prf1"].confusion_str())
