@@ -13,10 +13,11 @@ Design notes (TPU-first):
   per-part 1×1 convs with the kernel sliced by input channel, the growing state
   can stay a **list of parts** with ``conv1(relu(bn1(concat(parts))))`` computed
   as ``Σ_p relu(bn1_p(part_p)) @ W1_p`` — bit-identical math, zero concats.
-  Measured, however, the per-part growth-width GEMMs lose to XLA's fused big
-  convs (676 vs 1192 fps at 512²), so the concatenating formulation stays the
-  default; both share one parameter tree (a (C_total,) BN and a (1,1,C_total,F)
-  kernel per layer) and the equivalence is under test.
+  Measured, however, the decomposed GEMMs lose to XLA's fused big convs even
+  with growth parts merged into MXU-sized 128-wide chunks (947 vs 1310 fps at
+  512²; unchunked 32-wide parts: 676 fps), so the concatenating formulation
+  stays the default; both share one parameter tree (a (C_total,) BN and a
+  (1,1,C_total,F) kernel per layer) and the equivalence is under test.
 - the feature head reproduces gluon's fixed ``AvgPool2D(7)`` + flatten (not global
   pooling), which at 512² inputs yields the 4096-d per-frame feature vectors the
   downstream pipeline (CNN-RNN, GNMT src_embed) consumes.
@@ -182,11 +183,10 @@ class DenseNet(nn.Module):
 
     spec: DenseNetSpec
     dtype: Any = jnp.bfloat16
-    # measured on v5e at 512²: the concat-free decomposition (many growth-width
-    # matmuls) runs at 676 fps vs 1192 fps for the concatenating formulation —
-    # XLA's big fused convs beat per-part GEMMs despite the 42%-of-step concat
-    # traffic. Kept as an option (the equivalence is tested) for future Pallas
-    # dense-block work; default is the fast path.
+    # measured on v5e at 512²: concat-free runs at 947 fps (128-wide chunked
+    # merges; 676 fps unchunked) vs 1310 fps for the concatenating formulation —
+    # XLA fuses the concat into the consuming conv better than decomposed GEMMs.
+    # Kept as an option (equivalence tested) for future Pallas dense-block work.
     concat_free: bool = False
 
     @nn.compact
@@ -199,24 +199,44 @@ class DenseNet(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
-        parts = [x]
+        # `parts` is the virtual concatenation of the block state. In concat-free
+        # mode, fresh growth-width (32-ch) outputs collect in `pending` and merge
+        # into one 128-wide chunk every `merge_every` layers: the sliced matmuls
+        # then all have MXU-sized K dims, and the only concats ever materialized
+        # are of small same-size growth tensors — never the growing block state.
+        merge_every = max(1, 128 // self.spec.growth_rate)
+        parts, pending = [x], []
+
+        def state():
+            if not self.concat_free:
+                merged = jnp.concatenate(parts + pending, axis=-1) \
+                    if len(parts) + len(pending) > 1 else (parts + pending)[0]
+                return [merged]
+            return parts + pending
+
         channels = self.spec.num_init_features
         for i, num_layers in enumerate(self.spec.block_config):
             for j in range(num_layers):
-                if not self.concat_free and len(parts) > 1:
-                    parts = [jnp.concatenate(parts, axis=-1)]
+                cur = state()
+                if not self.concat_free:
+                    parts, pending = cur, []
                 h = _DenseLayer(channels, self.spec.growth_rate,
                                 self.spec.bn_size, self.dtype,
-                                name=f"block{i}_layer{j}")(parts, train)
-                parts.append(h)
+                                name=f"block{i}_layer{j}")(cur, train)
+                pending.append(h)
                 channels += self.spec.growth_rate
+                if len(pending) >= merge_every:
+                    parts.append(jnp.concatenate(pending, axis=-1)
+                                 if len(pending) > 1 else pending[0])
+                    pending = []
             if i != len(self.spec.block_config) - 1:
-                if not self.concat_free and len(parts) > 1:
-                    parts = [jnp.concatenate(parts, axis=-1)]
+                cur = state()
                 out = _Transition(channels, channels // 2, self.dtype,
-                                  name=f"transition{i}")(parts, train)
+                                  name=f"transition{i}")(cur, train)
                 channels //= 2
-                parts = [out]
+                parts, pending = [out], []
+
+        parts = state()
 
         parts = _SlicedBNRelu(channels, self.dtype, name="bn_final")(parts, train)
         # gluon parity: fixed 7×7 average pool, stride 7 (NOT global pooling) then
