@@ -129,7 +129,6 @@ def beam_search(
         seqs = jnp.take_along_axis(seqs, parent[..., None], axis=1)
         lengths = jnp.take_along_axis(lengths, parent, axis=1)
         prev_finished = jnp.take_along_axis(finished, parent, axis=1)
-        raw_parent = jnp.take_along_axis(scores, parent, axis=1)
 
         now_eos = jnp.logical_and(~from_keep, token == eos_id)
         new_finished = jnp.logical_or(from_keep & prev_finished, now_eos)

@@ -285,7 +285,7 @@ def train_and_evaluate():
     for epoch in range(start_epoch, FLAGS.epochs):
         loaders["train"].set_epoch(epoch)
         tic = time.time()
-        n_samples, n_batches, loss_sum = 0, 0, 0.0
+        n_samples, n_batches = 0, 0
         train_metrics = _metric_set(train_set.classes)
         for images, labels, _ in prefetch_to_device(iter(loaders["train"]),
                                                     bsharding):
@@ -304,7 +304,6 @@ def train_and_evaluate():
             n_samples += labels.shape[0]
             if n_batches % FLAGS.log_interval == 0 or n_batches == 1:
                 loss_v = float(loss)
-                loss_sum += loss_v
                 train_metrics["prf1"].update(labels, logits)
                 rate = n_samples / max(time.time() - tic, 1e-6)
                 logging.info(
@@ -317,6 +316,12 @@ def train_and_evaluate():
                     tb.add_scalar("train/samples_per_sec", rate, step_i)
             if 0 < FLAGS.max_batches <= n_batches:
                 break
+
+        train_f1 = train_metrics["prf1"].get_dict()["AVG_NB_f1"]
+        if tb:
+            tb.add_scalar("train/AVG_NB_f1", train_f1, epoch)
+        logging.info("[Epoch %d] train AVG_NB_f1=%.4f (sampled at log intervals)",
+                     epoch, train_f1)
 
         val_metrics = run_eval("val")
         scores = val_metrics["prf1"].get_dict()

@@ -258,7 +258,7 @@ def train(argv=None):
     for epoch in range(start_epoch, FLAGS.epochs):
         loaders["train"].set_epoch(epoch)
         tic = time.time()
-        n_tokens, n_batches, loss_sum = 0, 0, 0.0
+        n_tokens, n_batches = 0, 0
         for batch in loaders["train"]:
             src, tgt, src_vl, tgt_vl = batch[:4]
             dropout_key, sub = jax.random.split(dropout_key)
