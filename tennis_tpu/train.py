@@ -237,6 +237,13 @@ def train_and_evaluate():
         logging.info("resumed from epoch %d", start_epoch - 1)
 
     if FLAGS.save_feats:
+        # dump from the BEST epoch when scores exist (reference train.py:266-284),
+        # not merely the newest checkpoint
+        best = ckpt.best_epoch(exp_dir)
+        if best is not None:
+            state = ckpt.load_state(ckpt.epoch_path(exp_dir, best[0]), state)
+            logging.info("dumping features from best epoch %d (score=%.4f)",
+                         best[0], best[1])
         save_features(model, state, [train_set, val_set, test_set], loaders, mesh)
         return state
 
