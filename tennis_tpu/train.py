@@ -375,6 +375,11 @@ def _metric_set(class_names):
 def save_features(model, state, datasets, loaders, mesh):
     """Dump backbone features as .npy mirroring the frames layout
     (reference train.py:530-545, dataset.py:140-150)."""
+    if not hasattr(model, "features"):
+        raise ValueError(
+            "--save_feats needs a backbone-bearing model (FrameModel); it cannot "
+            "be combined with --temp_pool/--feats_model configurations"
+        )
     import jax
     import jax.numpy as jnp
 
