@@ -106,12 +106,17 @@ def prefetch_to_device(iterator, sharding=None, buffer_size: int = 2):
     def put(batch):
         if sharding is None:
             return jax.tree_util.tree_map(jnp_device_put_default, batch)
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, sharding)
-            if isinstance(x, np.ndarray)
-            else x,
-            batch,
-        )
+
+        def _put(x):
+            if not isinstance(x, np.ndarray):
+                return x
+            if not sharding.is_fully_addressable:
+                # multi-host: this process holds only its stripe of the global
+                # batch; assemble the global jax.Array from per-process data
+                return jax.make_array_from_process_local_data(sharding, x)
+            return jax.device_put(x, sharding)
+
+        return jax.tree_util.tree_map(_put, batch)
 
     q: queue.Queue = queue.Queue(maxsize=buffer_size)
     sentinel = object()

@@ -6,6 +6,7 @@ from tennis_tpu.parallel.train_step import (
     create_train_state,
     make_train_step,
     make_eval_step,
+    make_seq2seq_train_step,
     sgd_with_schedule,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "create_train_state",
     "make_train_step",
     "make_eval_step",
+    "make_seq2seq_train_step",
     "sgd_with_schedule",
 ]

@@ -1,0 +1,99 @@
+"""Multi-host (pod) entry: ``jax.distributed`` wiring + DCN×ICI mesh construction.
+
+The reference is strictly single-host (SURVEY §5.8: gluon Trainer over an
+in-process kvstore, no NCCL/MPI anywhere). The TPU-native equivalent of "more
+than one machine" is:
+
+1. every host process calls :func:`initialize_multihost` before first jax use
+   (TPU pods auto-discover the coordinator from the environment; explicit
+   coordinator/process args support CPU/GPU-style bring-up);
+2. :func:`make_pod_mesh` lays the ``data`` axis across hosts (DCN) × local
+   devices (ICI) and keeps the ``model`` (tensor-parallel) axis INSIDE one
+   host's ICI domain, so TP collectives never ride DCN;
+3. the data layer partitions the sample index space per host via the loaders'
+   ``num_shards=jax.process_count() / shard_id=jax.process_index()`` arguments
+   (seeded epoch permutations keep hosts in agreement — tennis_tpu.data.loader).
+
+Example 2-host run (4 chips each):
+
+    # host 0                                  # host 1
+    python -m tennis_tpu.train --multihost \  python -m tennis_tpu.train --multihost \
+        --coordinator=10.0.0.1:1234 \             --coordinator=10.0.0.1:1234 \
+        --num_hosts=2 --host_id=0 ...             --num_hosts=2 --host_id=1 ...
+
+On real TPU pods the three coordinator flags can be omitted — jax discovers the
+topology from the runtime environment.
+
+Known multi-host limitation (documented, reference has no multi-host at all):
+epoch-boundary eval fetches logits to the host, which under multi-host returns
+only the process-addressable shards — per-host stripe metrics. Aggregate across
+hosts with ``jax.experimental.multihost_utils.process_allgather`` on the
+confusion matrices if pod-global eval numbers are needed during training; the
+canonical full-set numbers come from the single-host evaluate.py pass.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from tennis_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
+
+
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> None:
+    """Call ``jax.distributed.initialize`` exactly once, before any backend use.
+
+    Safe to call when already initialized (logs and returns).
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+
+
+def make_pod_mesh(num_model: int = 1):
+    """(data, model) mesh spanning every process.
+
+    Single-process: identical to :func:`tennis_tpu.parallel.mesh.make_mesh`.
+    Multi-process: a hybrid DCN×ICI device layout — the data axis covers
+    ``process_count × (local_devices / num_model)`` and the model axis tiles
+    within each host, so tensor-parallel all-gathers stay on ICI while only the
+    gradient all-reduce crosses DCN (the bandwidth-appropriate split).
+    """
+    import jax
+    from jax.sharding import Mesh
+
+    if jax.process_count() == 1:
+        return make_mesh(num_model=num_model)
+
+    local = jax.local_device_count()
+    if local % num_model:
+        raise ValueError(
+            f"num_model={num_model} must divide local device count {local}"
+        )
+    from jax.experimental import mesh_utils
+
+    devices = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(local // num_model, num_model),
+        dcn_mesh_shape=(jax.process_count(), 1),
+    )
+    return Mesh(devices.reshape(-1, num_model), (DATA_AXIS, MODEL_AXIS))
+
+
+def host_batch_slice(global_batch: int) -> int:
+    """Per-host batch size for a host-sharded loader feeding a global batch."""
+    import jax
+
+    if global_batch % jax.process_count():
+        raise ValueError(
+            f"global batch {global_batch} must divide across "
+            f"{jax.process_count()} hosts"
+        )
+    return global_batch // jax.process_count()

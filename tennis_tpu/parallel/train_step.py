@@ -69,17 +69,31 @@ def adam_with_clip(lr: float, clip: float = 5.0):
     return optax.chain(optax.clip_by_global_norm(clip), optax.adam(lr))
 
 
-def create_train_state(model, rng, sample_input, tx, train_kwargs=None) -> TrainState:
-    variables = model.init(rng, sample_input, **(train_kwargs or {}))
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", FrozenDict())
-    return TrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=params,
-        batch_stats=batch_stats,
-        opt_state=tx.init(params),
-        tx=tx,
-    )
+def create_train_state(model, rng, sample_input, tx, train_kwargs=None,
+                       mesh=None) -> TrainState:
+    """Initialize model + optimizer state under ONE jit (eager per-op init over
+    the tunneled TPU takes minutes; jitted it takes seconds). With ``mesh``, the
+    state is created directly with its production shardings (params/opt state
+    per sharding_rules.state_shardings) — no host round-trip or reshard copy."""
+
+    def init_fn(rng, sample):
+        variables = model.init(rng, sample, **(train_kwargs or {}))
+        params = variables["params"]
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=variables.get("batch_stats", FrozenDict()),
+            opt_state=tx.init(params),
+            tx=tx,
+        )
+
+    if mesh is None:
+        return jax.jit(init_fn)(rng, sample_input)
+    from tennis_tpu.parallel.sharding_rules import state_shardings
+
+    abstract = jax.eval_shape(init_fn, rng, sample_input)
+    shardings = state_shardings(mesh, abstract)
+    return jax.jit(init_fn, out_shardings=shardings)(rng, sample_input)
 
 
 def softmax_ce(logits, labels):
@@ -89,14 +103,26 @@ def softmax_ce(logits, labels):
 
 
 def make_train_step(model, mesh=None, num_classes: int | None = None,
-                    loss_fn: Callable = softmax_ce):
+                    loss_fn: Callable = softmax_ce,
+                    preprocess: Callable | None = None, rng_seed: int = 0,
+                    state_sharding=None):
     """Build the jitted DP train step: (state, images, labels) → (state, loss[, cm]).
 
-    With ``mesh``, inputs are expected batch-sharded and state replicated; the jit is
+    With ``mesh``, inputs are expected batch-sharded and state replicated (or
+    ``state_sharding``, e.g. sharding_rules.state_shardings for TP); the jit is
     annotated accordingly so XLA places the grad all-reduce on ICI.
+
+    ``preprocess(images, key) -> images`` runs INSIDE the step (e.g. the fused
+    uint8 augment stage); its PRNG key is ``fold_in(rng_seed, state.step)`` so no
+    per-batch host-side RNG op is needed (each eager op over the tunneled TPU is a
+    network round-trip) and resumed runs replay the same augmentation stream.
     """
 
     def step(state: TrainState, images, labels):
+        if preprocess is not None:
+            key = jax.random.fold_in(jax.random.PRNGKey(rng_seed), state.step)
+            images = preprocess(images, key)
+
         def compute_loss(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             out, mutated = model.apply(
@@ -115,20 +141,73 @@ def make_train_step(model, mesh=None, num_classes: int | None = None,
 
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))
-    bs, rep = batch_sharding(mesh), replicated(mesh)
-    # state replicated, batch sharded on 'data'; output shardings inferred (the loss
-    # and confusion matrix come back replicated — XLA inserts the all-reduces)
-    return jax.jit(step, donate_argnums=(0,), in_shardings=(rep, bs, bs))
+    bs = batch_sharding(mesh)
+    st = state_sharding if state_sharding is not None else replicated(mesh)
+    # batch sharded on 'data'; output shardings inferred (the loss and confusion
+    # matrix come back replicated — XLA inserts the all-reduces)
+    return jax.jit(step, donate_argnums=(0,), in_shardings=(st, bs, bs))
 
 
-def make_eval_step(model, mesh=None, num_classes: int | None = None):
-    """Jitted inference step: logits (+ optional per-batch confusion matrix)."""
+def make_eval_step(model, mesh=None, num_classes: int | None = None,
+                   preprocess: Callable | None = None, state_sharding=None):
+    """Jitted inference step: logits (+ optional per-batch confusion matrix).
 
-    def step(params, batch_stats, images, labels=None):
+    ``preprocess(images) -> images`` runs inside the jit (fused uint8→normalize).
+    """
+
+    def forward(params, batch_stats, images):
+        if preprocess is not None:
+            images = preprocess(images)
         variables = {"params": params, "batch_stats": batch_stats}
-        logits = model.apply(variables, images, train=False)
-        if num_classes is not None and labels is not None:
-            return logits, confusion_matrix(labels, logits, num_classes)
-        return logits
+        return model.apply(variables, images, train=False)
 
-    return jax.jit(step)
+    def forward_with_cm(params, batch_stats, images, labels):
+        logits = forward(params, batch_stats, images)
+        return logits, confusion_matrix(labels, logits, num_classes)
+
+    step = forward if num_classes is None else forward_with_cm
+    if mesh is None:
+        return jax.jit(step)
+    bs, rep = batch_sharding(mesh), replicated(mesh)
+    if state_sharding is not None:
+        p_sh, bs_sh = state_sharding.params, state_sharding.batch_stats
+    else:
+        p_sh, bs_sh = rep, rep
+    shardings = (p_sh, bs_sh, bs) if num_classes is None else (p_sh, bs_sh, bs, bs)
+    return jax.jit(step, in_shardings=shardings)
+
+
+def make_seq2seq_train_step(model, opt, loss_fn, mesh=None):
+    """Donating train step for the captioner (reference train_gnmt.py:319-337):
+    ``(params, batch_stats, opt_state, src, tgt, src_vl, tgt_vl, seed)`` →
+    ``(params, batch_stats, opt_state, loss)``.
+
+    ``seed`` is a host-generated uint32 scalar; the dropout key is derived inside
+    the jit, so the hot loop issues zero eager device ops. params/opt_state are
+    donated — the Adam moments update in place instead of doubling live memory.
+    With ``mesh``, batch tensors arrive sharded over the ``data`` axis.
+    """
+
+    def step(params, batch_stats, opt_state, src, tgt, src_vl, tgt_vl, seed):
+        k_dropout, k_augment = jax.random.split(jax.random.PRNGKey(seed))
+
+        def compute_loss(p):
+            logits, mutated = model.apply(
+                {"params": p, "batch_stats": batch_stats}, src, tgt[:, :-1],
+                src_vl, tgt_vl - 1, train=True, rngs={"dropout": k_dropout,
+                                                      "augment": k_augment},
+                mutable=["batch_stats"],
+            )
+            return loss_fn(logits, tgt[:, 1:], tgt_vl - 1), mutated["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+            params
+        )
+        updates, new_opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, new_opt_state, loss
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1, 2))
+    bs, rep = batch_sharding(mesh), replicated(mesh)
+    return jax.jit(step, donate_argnums=(0, 1, 2),
+                   in_shardings=(rep, rep, rep, bs, bs, bs, bs, rep))

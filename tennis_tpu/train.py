@@ -61,6 +61,14 @@ flags.DEFINE_integer("seed", 0, "Global RNG seed")
 flags.DEFINE_integer("profile_steps", 0,
                      "Capture a jax.profiler trace of this many train steps into "
                      "<exp_dir>/tb/profile (view with xprof/tensorboard)")
+flags.DEFINE_bool("multihost", False,
+                  "Initialize jax.distributed and build a DCN×ICI pod mesh; "
+                  "every host runs this same command (parallel/distributed.py)")
+flags.DEFINE_string("coordinator", None,
+                    "multihost coordinator address host:port (omit on TPU pods "
+                    "— auto-discovered)")
+flags.DEFINE_integer("num_hosts", None, "multihost process count (omit on pods)")
+flags.DEFINE_integer("host_id", None, "this process's index (omit on pods)")
 
 
 def build_model(num_classes: int, feats: bool):
@@ -118,7 +126,12 @@ def make_datasets():
 
     every = [int(s) for s in FLAGS.every]
     balance = [str(s).strip().lower() in ("true", "t") for s in FLAGS.balance]
-    balance_train = balance[0] and not FLAGS.save_feats and FLAGS.window == 1
+    # balancing stays ON for window>1 (the reference only disables it for
+    # --save_feats, train.py:130,159-160; window>1 disables *augmentation*,
+    # train.py:163-165, which _geometry_transform handles separately). Deviation
+    # kept: the reference hardcodes balance_train=True ignoring --balance[0]; we
+    # honor the flag (default True → same behavior). See PARITY.md.
+    balance_train = balance[0] and not FLAGS.save_feats
 
     common = dict(
         root=FLAGS.root, split_id=FLAGS.split_id, padding=FLAGS.padding,
@@ -162,13 +175,19 @@ def train_and_evaluate():
     from tennis_tpu.data.transforms import device_augment, device_prepare
     from tennis_tpu.models import backbone_feature_dim
     from tennis_tpu.parallel import (
-        batch_sharding, create_train_state, make_mesh, sgd_with_schedule,
+        batch_sharding, create_train_state, make_eval_step, make_mesh,
+        make_train_step, sgd_with_schedule,
     )
-    from tennis_tpu.parallel.train_step import TrainState, softmax_ce
+    from tennis_tpu.parallel.sharding_rules import state_shardings
     from tennis_tpu.utils import checkpoint as ckpt
     from tennis_tpu.utils.experiments import (
         experiment_dir, setup_logging, summary_writer,
     )
+
+    if FLAGS.multihost:
+        from tennis_tpu.parallel.distributed import initialize_multihost
+
+        initialize_multihost(FLAGS.coordinator, FLAGS.num_hosts, FLAGS.host_id)
 
     exp_dir = experiment_dir("vision", FLAGS.model_id)
     setup_logging(exp_dir, {k: FLAGS[k].value for k in FLAGS})
@@ -184,26 +203,41 @@ def train_and_evaluate():
     feat_dim = backbone_feature_dim(FLAGS.backbone, FLAGS.data_shape)
     model = build_model(num_classes, feats)
 
+    # --batch_size is GLOBAL (reference semantics); each host's loader yields its
+    # 1/process_count stripe of every global batch (agreed seeded permutations)
     num_workers = FLAGS.num_workers if FLAGS.num_workers > 0 else (os.cpu_count() or 8)
+    host_batch = FLAGS.batch_size
+    if jax.process_count() > 1:
+        from tennis_tpu.parallel.distributed import host_batch_slice
+
+        host_batch = host_batch_slice(FLAGS.batch_size)
     loaders = {}
     for name, ds, train_flag in (
         ("train", train_set, True), ("val", val_set, False), ("test", test_set, False)
     ):
         loaders[name] = DataLoader(
-            ds, batch_size=FLAGS.batch_size, shuffle=train_flag, seed=FLAGS.seed,
+            ds, batch_size=host_batch, shuffle=train_flag, seed=FLAGS.seed,
             num_workers=num_workers, drop_last=train_flag,
+            num_shards=jax.process_count(), shard_id=jax.process_index(),
             transform=None if feats else _geometry_transform(train_flag),
         )
 
-    devices = jax.devices()
-    num_data = FLAGS.num_devices if FLAGS.num_devices > 0 else len(devices)
+    if FLAGS.multihost:
+        from tennis_tpu.parallel.distributed import make_pod_mesh
+
+        mesh = make_pod_mesh()
+        num_data = mesh.shape["data"]
+    else:
+        devices = jax.devices()
+        num_data = FLAGS.num_devices if FLAGS.num_devices > 0 else len(devices)
+        mesh = make_mesh(num_data=num_data, devices=devices[:num_data])
     if FLAGS.batch_size % num_data:
         raise ValueError(
             f"--batch_size {FLAGS.batch_size} must divide across {num_data} devices"
         )
-    mesh = make_mesh(num_data=num_data, devices=devices[:num_data])
     bsharding = batch_sharding(mesh)
-    logging.info("mesh: %s over %s", dict(mesh.shape), devices[:num_data])
+    logging.info("mesh: %s over %d devices (%d processes)", dict(mesh.shape),
+                 mesh.devices.size, jax.process_count())
 
     steps_per_epoch = max(1, len(loaders["train"]))
     lr_steps = [int(s) for s in FLAGS.lr_steps]
@@ -222,7 +256,9 @@ def train_and_evaluate():
 
     rng = jax.random.PRNGKey(FLAGS.seed)
     sample = jnp.zeros(_sample_shape(num_classes, feats, feat_dim), jnp.float32)
-    state = create_train_state(model, rng, sample, tx, {"train": True})
+    # created under one jit, directly with its production shardings
+    state = create_train_state(model, rng, sample, tx, {"train": True}, mesh=mesh)
+    sh_state = state_shardings(mesh, state)
     logging.info("params: %.2fM", ckpt.param_count(state.params) / 1e6)
 
     if FLAGS.backbone_from_id:
@@ -247,48 +283,44 @@ def train_and_evaluate():
         save_features(model, state, [train_set, val_set, test_set], loaders, mesh)
         return state
 
-    @jax.jit
-    def train_step(state: TrainState, images, labels, key):
-        if not feats and images.dtype == jnp.uint8 and images.ndim == 4 and not FLAGS.flow:
-            images = device_augment(images, key)
-        elif images.dtype == jnp.uint8:
-            flat = images.reshape((-1,) + images.shape[-3:])
-            images = device_prepare(flat).reshape(images.shape)
+    def _prepare(images):
+        """uint8 NHWC(+window) → normalized bf16, inside the jit."""
+        if images.dtype != jnp.uint8:
+            return images
+        flat = images.reshape((-1,) + images.shape[-3:])
+        return device_prepare(flat).reshape(images.shape)
 
-        def loss_fn(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
-            out = model.apply(variables, images, train=True,
-                              mutable=["batch_stats"])
-            logits, mutated = out
-            return softmax_ce(logits, labels), (logits, mutated["batch_stats"])
+    def train_preprocess(images, key):
+        if not feats and images.dtype == jnp.uint8 and images.ndim == 4 \
+                and not FLAGS.flow:
+            return device_augment(images, key)
+        return _prepare(images)
 
-        (loss, (logits, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
-        return state.apply_gradients(grads, new_bs), loss, logits
-
-    @jax.jit
-    def eval_step(params, batch_stats, images):
-        if images.dtype == jnp.uint8:
-            flat = images.reshape((-1,) + images.shape[-3:])
-            images = device_prepare(flat).reshape(images.shape)
-        return model.apply({"params": params, "batch_stats": batch_stats}, images,
-                           train=False)
+    train_step = make_train_step(
+        model, mesh=mesh, preprocess=train_preprocess,
+        rng_seed=FLAGS.seed + 123, state_sharding=sh_state,
+    )
+    eval_step = make_eval_step(model, mesh=mesh, preprocess=_prepare,
+                               state_sharding=sh_state)
 
     from tennis_tpu.parallel.mesh import pad_batch
 
     def run_eval(split):
         metrics = _metric_set(test_set.classes)
-        for batch in iter(loaders[split]):
-            (images, labels, _), n = pad_batch(batch, FLAGS.batch_size)
-            images = jax.device_put(images, bsharding)
+
+        def padded():
+            for batch in iter(loaders[split]):
+                yield pad_batch(batch, host_batch)
+
+        for (images, labels, _), n in prefetch_to_device(padded(), bsharding):
             logits = eval_step(state.params, state.batch_stats, images)
+            logits = np.asarray(jax.device_get(logits))[:n]
+            labels = np.asarray(jax.device_get(labels))[:n]
             for m in metrics.values():
-                m.update(labels[:n], logits[:n])
+                m.update(labels, logits)
         return metrics
 
     profile_left = FLAGS.profile_steps
-    key = jax.random.PRNGKey(FLAGS.seed + 123)
     for epoch in range(start_epoch, FLAGS.epochs):
         loaders["train"].set_epoch(epoch)
         tic = time.time()
@@ -296,17 +328,14 @@ def train_and_evaluate():
         train_metrics = _metric_set(train_set.classes)
         for images, labels, _ in prefetch_to_device(iter(loaders["train"]),
                                                     bsharding):
-            key, sub = jax.random.split(key)
             if profile_left > 0 and n_batches == 1:  # skip the compile step
                 with jax.profiler.trace(os.path.join(exp_dir, "tb", "profile")):
                     for _ in range(profile_left):
-                        key, sub = jax.random.split(key)
-                        state, loss, logits = train_step(state, images, labels,
-                                                         sub)
+                        state, loss, logits = train_step(state, images, labels)
                     jax.device_get(loss)
                 profile_left = 0
                 logging.info("profiler trace written to %s/tb/profile", exp_dir)
-            state, loss, logits = train_step(state, images, labels, sub)
+            state, loss, logits = train_step(state, images, labels)
             n_batches += 1
             n_samples += labels.shape[0]
             if n_batches % FLAGS.log_interval == 0 or n_batches == 1:

@@ -109,3 +109,85 @@ def test_sharded_input_layout():
     xs = shard_batch(mesh, x)
     assert xs.sharding == batch_sharding(mesh)
     np.testing.assert_array_equal(np.asarray(xs), x)
+
+
+def test_driver_harness_sharded_and_donating():
+    """The production driver path (tennis_tpu/train.py): state created directly
+    with its mesh shardings, preprocess fused into the step, donation recorded in
+    the lowering, and the batch consumed sharded over the data axis."""
+    from tennis_tpu.data.transforms import device_augment
+    from tennis_tpu.parallel.sharding_rules import state_shardings
+
+    mesh = make_mesh(num_data=4, num_model=2)
+    model = FrameModel(get_backbone("resnet18_v2", dtype=jnp.float32),
+                       num_classes=11, dtype=jnp.float32)
+    tx, _ = sgd_with_schedule(0.01)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, rng, jnp.zeros((1, 32, 32, 3)), tx,
+                               {"train": True}, mesh=mesh)
+    sh = state_shardings(mesh, state)
+    placed = jax.tree_util.tree_map(lambda v, s: v.sharding == s, state, sh)
+    assert all(jax.tree_util.tree_leaves(placed))
+
+    step = make_train_step(
+        model, mesh=mesh, num_classes=11, rng_seed=7, state_sharding=sh,
+        preprocess=lambda imgs, key: device_augment(imgs, key, dtype=jnp.float32),
+    )
+    x = np.random.default_rng(0).integers(0, 255, (8, 32, 32, 3), dtype=np.uint8)
+    y = np.random.default_rng(1).integers(0, 11, (8,))
+    xs, ys = shard_batch(mesh, (x, y))
+
+    # donation must be recorded for the state argument (the marker differs
+    # between unpartitioned and mesh lowerings)
+    txt = step.lower(state, xs, ys).as_text()
+    assert "jax.buffer_donor" in txt or "tf.aliasing_output" in txt
+
+    state, loss, logits, cm = step(state, xs, ys)
+    assert np.isfinite(float(loss))
+    assert int(state.step) == 1
+    assert int(np.asarray(cm).sum()) == 8
+    assert xs.sharding == batch_sharding(mesh)
+
+
+def test_seq2seq_step_donates_and_shards():
+    """Captioner step: host-seeded dropout, donation, optional DP sharding."""
+    import optax
+
+    from tennis_tpu.models.gnmt import (
+        NMTModel, get_gnmt_encoder_decoder, masked_ce_loss,
+    )
+    from tennis_tpu.parallel import make_seq2seq_train_step
+
+    enc, dec = get_gnmt_encoder_decoder(num_layers=2, num_bi_layers=1,
+                                        hidden_size=8, dropout=0.1)
+    model = NMTModel(vocab_size=12, encoder=enc, decoder=dec, embed_size=6)
+    rng = jax.random.PRNGKey(0)
+    src = np.random.default_rng(0).normal(size=(8, 5, 6)).astype(np.float32)
+    tgt = np.random.default_rng(1).integers(0, 12, (8, 7)).astype(np.int32)
+    src_vl = np.full((8,), 5, np.float32)
+    tgt_vl = np.full((8,), 7, np.float32)
+    variables = model.init(rng, jnp.asarray(src[:1]), jnp.asarray(tgt[:1, :-1]))
+    params = variables["params"]
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    mesh = make_mesh(num_data=8, num_model=1)
+    step = make_seq2seq_train_step(model, opt, masked_ce_loss, mesh=mesh)
+    lowered = step.lower(params, {}, opt_state, *shard_batch(
+        mesh, (src, tgt, src_vl, tgt_vl)), np.uint32(3))
+    txt = lowered.as_text()
+    assert "jax.buffer_donor" in txt or "tf.aliasing_output" in txt
+
+    params, _, opt_state, loss = step(
+        params, {}, opt_state, *shard_batch(mesh, (src, tgt, src_vl, tgt_vl)),
+        np.uint32(3),
+    )
+    assert np.isfinite(float(loss))
+
+
+def test_pod_mesh_single_process_and_host_slice():
+    from tennis_tpu.parallel.distributed import host_batch_slice, make_pod_mesh
+
+    mesh = make_pod_mesh(num_model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    assert host_batch_slice(64) == 64  # single process keeps the global batch
