@@ -139,13 +139,66 @@ def device_prepare(batch_u8, dtype=jnp.bfloat16):
     return normalize(x).astype(dtype)
 
 
+def color_jitter_coeffs(fb, fc, fs, mean_luma, order):
+    """Per-sample affine coefficients of brightness/contrast/saturation applied in
+    a random order (mxnet ``RandomOrderAug``, backing gluon's RandomColorJitter —
+    reference train.py:135-136).
+
+    Every jitter op is affine in the pixels:
+      brightness: x ← fb·x
+      contrast:   x ← fc·x + (1-fc)·mean(luma(x))   (scalar per image; mxnet's
+                  ContrastJitterAug uses the LUMA-weighted mean, not a gray mean)
+      saturation: x ← fs·x + (1-fs)·luma(x)          (per pixel)
+    so any composition is ``x ↦ a·x + b·luma(x) + s`` (luma weights sum to 1, hence
+    luma is idempotent and fixes constants). The (a, b, s) triplets for all six
+    orders are composed on (B,)-vectors and the sampled order selected per sample —
+    exact order semantics at the cost of scalar math, with ONE elementwise image
+    pass instead of three.
+
+    Args: fb/fc/fs/mean_luma (B,) floats; order (B,) ints in [0, 6).
+    Returns: (a, b, s) each (B,).
+    """
+    from itertools import permutations
+
+    def brightness(a, b, s):
+        return fb * a, fb * b, fb * s
+
+    def contrast(a, b, s):
+        return fc * a, fc * b, fc * s + (1.0 - fc) * ((a + b) * mean_luma + s)
+
+    def saturation(a, b, s):
+        return fs * a, fs * b + (1.0 - fs) * (a + b), s
+
+    ops = (brightness, contrast, saturation)
+    triplets = []
+    for perm in permutations(range(3)):
+        a = jnp.ones_like(fb)
+        b = jnp.zeros_like(fb)
+        s = jnp.zeros_like(fb)
+        for i in perm:
+            a, b, s = ops[i](a, b, s)
+        triplets.append(jnp.stack([a, b, s], axis=-1))
+    stacked = jnp.stack(triplets)  # (6, B, 3)
+    idx = jnp.broadcast_to(order[None, :, None], (1,) + stacked.shape[1:])
+    sel = jnp.take_along_axis(stacked, idx, axis=0)[0]  # (B, 3)
+    return sel[:, 0], sel[:, 1], sel[:, 2]
+
+
+def luma_of(x):
+    """ITU-R 601 luma, (..., 3) → (..., 1); weights sum to 1."""
+    return 0.299 * x[..., 0:1] + 0.587 * x[..., 1:2] + 0.114 * x[..., 2:3]
+
+
 def device_augment(batch_u8, rng, dtype=jnp.bfloat16, jitter: float = 0.4,
                    lighting: float = 0.1):
-    """Train path: uint8 NHWC (B, H, W, 3) → flip + color jitter + PCA lighting +
-    normalize, all batched with jax PRNG (reference train.py:133-141 semantics).
+    """Train path: uint8 NHWC (B, H, W, 3) → flip + color jitter (random
+    per-sample op order) + PCA lighting + normalize, all batched with jax PRNG
+    (reference train.py:133-141 semantics).
 
     Jitter factors are multiplicative, so applying them in [0,1] matches gluon's
-    [0,255]-scale implementation exactly.
+    [0,255]-scale implementation exactly. Deviation (documented in PARITY.md):
+    values are clipped to [0,1] once at the end, approximating gluon's uint8
+    saturation between ops.
     """
     k_flip, k_b, k_c, k_s, k_l, k_order = jax.random.split(rng, 6)
     x = batch_u8.astype(jnp.float32) / 255.0
@@ -155,20 +208,16 @@ def device_augment(batch_u8, rng, dtype=jnp.bfloat16, jitter: float = 0.4,
     do_flip = jax.random.bernoulli(k_flip, 0.5, (B, 1, 1, 1))
     x = jnp.where(do_flip, x[:, :, ::-1, :], x)
 
-    # brightness: x *= 1 + U(-j, j)
-    fb = 1.0 + jax.random.uniform(k_b, (B, 1, 1, 1), minval=-jitter, maxval=jitter)
-    x = x * fb
-    # contrast: blend with per-image gray mean
-    gray = jnp.mean(x, axis=-1, keepdims=True)
-    mean_gray = jnp.mean(gray, axis=(1, 2), keepdims=True)
-    fc = 1.0 + jax.random.uniform(k_c, (B, 1, 1, 1), minval=-jitter, maxval=jitter)
-    x = fc * x + (1.0 - fc) * mean_gray
-    # saturation: blend with grayscale
-    luma = (
-        0.299 * x[..., 0:1] + 0.587 * x[..., 1:2] + 0.114 * x[..., 2:3]
-    )
-    fs = 1.0 + jax.random.uniform(k_s, (B, 1, 1, 1), minval=-jitter, maxval=jitter)
-    x = fs * x + (1.0 - fs) * luma
+    fb = 1.0 + jax.random.uniform(k_b, (B,), minval=-jitter, maxval=jitter)
+    fc = 1.0 + jax.random.uniform(k_c, (B,), minval=-jitter, maxval=jitter)
+    fs = 1.0 + jax.random.uniform(k_s, (B,), minval=-jitter, maxval=jitter)
+    order = jax.random.randint(k_order, (B,), 0, 6)
+
+    luma = luma_of(x)  # (B, H, W, 1)
+    mean_luma = jnp.mean(luma, axis=(1, 2, 3))  # (B,)
+    a, b, s = color_jitter_coeffs(fb, fc, fs, mean_luma, order)
+    x = (a[:, None, None, None] * x + b[:, None, None, None] * luma
+         + s[:, None, None, None])
 
     # PCA lighting noise
     alpha = jax.random.normal(k_l, (B, 3)) * lighting

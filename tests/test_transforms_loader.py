@@ -152,3 +152,54 @@ def test_padded_batch():
     assert stacked.shape == (3, 5, 3)
     np.testing.assert_array_equal(lengths, [2, 5, 1])
     assert stacked[0, 2:].sum() == 0
+
+
+def test_color_jitter_affine_matches_sequential():
+    """The fused affine composition must equal naively applying the three jitter
+    ops one after another, for every one of the six orders."""
+    rng = np.random.default_rng(7)
+    B = 6
+    x = rng.uniform(0, 1, (B, 5, 4, 3)).astype(np.float32)
+    fb = 1.0 + rng.uniform(-0.4, 0.4, B).astype(np.float32)
+    fc = 1.0 + rng.uniform(-0.4, 0.4, B).astype(np.float32)
+    fs = 1.0 + rng.uniform(-0.4, 0.4, B).astype(np.float32)
+
+    def brightness(img, i):
+        return fb[i] * img
+
+    def contrast(img, i):
+        luma = np.asarray(T.luma_of(img))
+        return fc[i] * img + (1 - fc[i]) * luma.mean()
+
+    def saturation(img, i):
+        return fs[i] * img + (1 - fs[i]) * np.asarray(T.luma_of(img))
+
+    from itertools import permutations
+
+    ops = (brightness, contrast, saturation)
+    orders = list(permutations(range(3)))
+    # sample i uses order i — covers all six orders
+    order = np.arange(B, dtype=np.int32)
+    luma = np.asarray(T.luma_of(x))
+    a, b, s = T.color_jitter_coeffs(
+        jnp.asarray(fb), jnp.asarray(fc), jnp.asarray(fs),
+        jnp.asarray(luma.mean(axis=(1, 2, 3))), jnp.asarray(order),
+    )
+    fused = (np.asarray(a)[:, None, None, None] * x
+             + np.asarray(b)[:, None, None, None] * luma
+             + np.asarray(s)[:, None, None, None])
+
+    for i in range(B):
+        img = x[i]
+        for op_i in orders[i]:
+            img = ops[op_i](img, i)
+        np.testing.assert_allclose(fused[i], img, rtol=1e-4, atol=1e-5)
+
+
+def test_device_augment_uses_random_order():
+    """With contrast+saturation active, different orders give different images —
+    check the per-sample order stream actually varies the output."""
+    batch = np.random.default_rng(2).integers(0, 255, (8, 8, 8, 3), dtype=np.uint8)
+    outs = [np.asarray(T.device_augment(batch, jax.random.PRNGKey(k),
+                                        dtype=jnp.float32)) for k in range(3)]
+    assert not np.allclose(outs[0], outs[1]) and not np.allclose(outs[1], outs[2])
