@@ -180,14 +180,23 @@ class NMTModel(nn.Module):
         self.tgt_proj = nn.Dense(self.vocab_size, dtype=self.dtype, name="tgt_proj")
 
     def embed_src(self, src, train: bool = False):
+        """Pixels path: raw uint8 frames get the fused on-device stage — train-time
+        flip/jitter/lighting via the ``augment`` rng stream (the reference's
+        transform_train, train_gnmt.py:172-180, applied per frame since B and T
+        fold into one batch axis), eval-time plain normalize (transform_test,
+        train_gnmt.py:182-187)."""
         if self.src_embed is None:
             return src.astype(self.dtype)
         B, T = src.shape[:2]
         flat = src.reshape((B * T,) + src.shape[2:])
-        if flat.dtype == jnp.uint8:  # raw frames: fused normalize on device
-            from tennis_tpu.data.transforms import device_prepare
+        if flat.dtype == jnp.uint8:
+            from tennis_tpu.data.transforms import device_augment, device_prepare
 
-            flat = device_prepare(flat, dtype=self.dtype)
+            if train:
+                flat = device_augment(flat, self.make_rng("augment"),
+                                      dtype=self.dtype)
+            else:
+                flat = device_prepare(flat, dtype=self.dtype)
         emb = self.src_embed(flat, train=train)
         return emb.reshape((B, T, -1))
 

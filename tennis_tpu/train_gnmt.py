@@ -91,21 +91,26 @@ def build_model(vocab_size: int):
 def make_datasets():
     from tennis_tpu.data import TennisSet
 
-    transform = None
+    train_transform = test_transform = None
     if not FLAGS.feats_model:
-        # pixels path: per-frame Resize(+32)+CenterCrop geometry on the host
-        # (reference train_gnmt.py:163-176; augmentation happens on device)
+        # pixels path: host geometry per frame — train gets RandomResizedCrop
+        # (reference transform_train, train_gnmt.py:172-180; the color/lighting
+        # stages run fused on device inside embed_src), eval gets
+        # Resize(+32)+CenterCrop (transform_test, train_gnmt.py:182-187)
         from tennis_tpu.data import transforms as T
 
-        transform = lambda img: T.test_geometry(img, FLAGS.data_shape)
+        rng = np.random.default_rng(FLAGS.seed)
+        train_transform = lambda img: T.train_geometry(img, FLAGS.data_shape, rng)
+        test_transform = lambda img: T.test_geometry(img, FLAGS.data_shape)
 
     common = dict(root=FLAGS.root, captions=True, every=FLAGS.every,
-                  feats_model=FLAGS.feats_model or None, transform=transform)
-    data_train = TennisSet(split="train", max_cap_len=FLAGS.tgt_max_len, **common)
+                  feats_model=FLAGS.feats_model or None)
+    data_train = TennisSet(split="train", max_cap_len=FLAGS.tgt_max_len,
+                           transform=train_transform, **common)
     data_val = TennisSet(split="val", vocab=data_train.vocab, inference=True,
-                         **common)
+                         transform=test_transform, **common)
     data_test = TennisSet(split="test", vocab=data_train.vocab, inference=True,
-                          **common)
+                          transform=test_transform, **common)
     return data_train, data_val, data_test
 
 
@@ -170,6 +175,13 @@ def train(argv=None):
     batch_stats = variables.get("batch_stats", {})  # pixels path: backbone BN
     logging.info("params: %.2fM", ckpt.param_count(params) / 1e6)
 
+    # pixels path: transplant a trained vision experiment's backbone into
+    # src_embed (reference train_gnmt.py:152-161 loads the latest epoch params)
+    if FLAGS.feats_model is None and FLAGS.backbone_from_id:
+        params, batch_stats = _transplant_backbone(
+            dict(params), dict(batch_stats), FLAGS.backbone_from_id
+        )
+
     # pretrained target embeddings (reference train_gnmt.py:211-218)
     emb_path = os.path.join(FLAGS.root, FLAGS.emb_file) if FLAGS.emb_file else None
     if emb_path and os.path.exists(emb_path):
@@ -182,13 +194,25 @@ def train(argv=None):
                         "scratch", emb_path)
 
     lr = FLAGS.lr
-    opt = optax.inject_hyperparams(
-        lambda learning_rate: optax.chain(
+
+    def _make_opt(learning_rate):
+        base = optax.chain(
             optax.clip_by_global_norm(FLAGS.clip),
             optax.adam(learning_rate) if FLAGS.optimizer == "adam"
             else optax.sgd(learning_rate),
         )
-    )(lr)
+        if FLAGS.freeze_backbone and FLAGS.feats_model is None:
+            # zero updates for the CNN src_embed (reference train_gnmt.py:164-166
+            # sets grad_req='null' on every cnn_model param)
+            def frozen_mask(p):
+                return {k: jax.tree_util.tree_map(lambda _: k == "src_embed", v)
+                        for k, v in p.items()}
+
+            base = optax.chain(base, optax.masked(optax.set_to_zero(),
+                                                  frozen_mask))
+        return base
+
+    opt = optax.inject_hyperparams(_make_opt)(lr)
     opt_state = opt.init(params)
 
     start_epoch = ckpt.resume_epoch(exp_dir)
@@ -202,21 +226,14 @@ def train(argv=None):
         batch_stats = restored["batch_stats"]
         logging.info("resumed from epoch %d", start_epoch - 1)
 
-    @jax.jit
-    def train_step(params, batch_stats, opt_state, src, tgt, src_vl, tgt_vl,
-                   dropout_rng):
-        def loss_fn(p):
-            logits, mutated = model.apply(
-                {"params": p, "batch_stats": batch_stats}, src, tgt[:, :-1],
-                src_vl, tgt_vl - 1, train=True, rngs={"dropout": dropout_rng},
-                mutable=["batch_stats"],
-            )
-            return (masked_ce_loss(logits, tgt[:, 1:], tgt_vl - 1),
-                    mutated["batch_stats"])
+    # donating jitted step from the shared parallel harness (params + Adam
+    # moments update in place; the dropout key derives from a host seed inside
+    # the jit — zero eager device ops per batch). The captioner stays
+    # single-device like the reference (train_gnmt.py:126-129 "only supports
+    # 1 GPU"); make_seq2seq_train_step(mesh=...) is the DP upgrade path.
+    from tennis_tpu.parallel import make_seq2seq_train_step
 
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), new_bs, opt_state, loss
+    train_step = make_seq2seq_train_step(model, opt, masked_ce_loss)
 
     @jax.jit
     def eval_loss_step(params, batch_stats, src, tgt, src_vl, tgt_vl):
@@ -236,16 +253,18 @@ def train(argv=None):
         losses, hyps, order = [], [], []
         for batch in loaders[split]:
             src, tgt, src_vl, tgt_vl, idxs = batch
-            losses.append(float(eval_loss_step(
+            # keep the loss on device; one batched fetch after the loop
+            losses.append(eval_loss_step(
                 params, batch_stats, jnp.asarray(src), jnp.asarray(tgt),
                 jnp.asarray(src_vl), jnp.asarray(tgt_vl)
-            )))
+            ))
             toks = translator.translate_tokens(
                 {"params": params, "batch_stats": batch_stats}, src, src_vl,
                 vocab,
             )
             hyps.extend(toks)
             order.extend(int(i) for i in idxs)
+        losses = [float(l) for l in jax.device_get(losses)]
         # restore dataset order (buckets permute samples)
         hyps_ordered = [None] * len(hyps)
         for pos, ds_idx in enumerate(order):
@@ -254,17 +273,17 @@ def train(argv=None):
         return float(np.mean(losses)), suite, hyps_ordered
 
     best_bleu = -1.0
-    dropout_key = jax.random.PRNGKey(FLAGS.seed + 1)
+    seed_rng = np.random.default_rng(FLAGS.seed + 1)
     for epoch in range(start_epoch, FLAGS.epochs):
         loaders["train"].set_epoch(epoch)
         tic = time.time()
         n_tokens, n_batches = 0, 0
         for batch in loaders["train"]:
             src, tgt, src_vl, tgt_vl = batch[:4]
-            dropout_key, sub = jax.random.split(dropout_key)
             params, batch_stats, opt_state, loss = train_step(
                 params, batch_stats, opt_state, jnp.asarray(src),
-                jnp.asarray(tgt), jnp.asarray(src_vl), jnp.asarray(tgt_vl), sub,
+                jnp.asarray(tgt), jnp.asarray(src_vl), jnp.asarray(tgt_vl),
+                np.uint32(seed_rng.integers(2**31)),
             )
             n_batches += 1
             n_tokens += int(tgt_vl.sum())
@@ -329,6 +348,48 @@ def train(argv=None):
     return params
 
 
+def _transplant_backbone(params, batch_stats, from_id):
+    """Load the newest vision-experiment checkpoint and graft its backbone
+    subtree (params + BN stats) onto ``src_embed`` (reference
+    train_gnmt.py:152-161: FrameModel.load_parameters of the latest epoch, then
+    ``cnn_model.backbone`` becomes the TimeDistributed src_embed)."""
+    import jax
+
+    from tennis_tpu.utils import checkpoint as ckpt
+    from tennis_tpu.utils.experiments import experiment_dir
+
+    src_dir = experiment_dir("vision", from_id)
+    latest = ckpt.latest_epoch(src_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no checkpoints under {src_dir}")
+    raw = ckpt.load_raw(ckpt.epoch_path(src_dir, latest))
+    donor_params = raw["params"]["backbone"]
+    donor_stats = raw.get("batch_stats", {}).get("backbone", {})
+
+    def check(donor, mine, what):
+        d = jax.tree_util.tree_structure(donor)
+        m = jax.tree_util.tree_structure(mine)
+        if d != m:
+            raise ValueError(
+                f"backbone {what} from experiment {from_id} do not match this "
+                f"--backbone={FLAGS.backbone}: {d} vs {m}"
+            )
+
+    check(donor_params, params["src_embed"], "params")
+    params["src_embed"] = jax.tree_util.tree_map(jnp_array, donor_params)
+    if donor_stats:
+        check(donor_stats, batch_stats["src_embed"], "batch_stats")
+        batch_stats["src_embed"] = jax.tree_util.tree_map(jnp_array, donor_stats)
+    logging.info("transplanted backbone from %s epoch %d", from_id, latest)
+    return params, batch_stats
+
+
+def jnp_array(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
+
 def _write_sentences(sentences, path):
     with open(path, "w", encoding="utf-8") as f:
         for s in sentences:
@@ -336,6 +397,9 @@ def _write_sentences(sentences, path):
 
 
 def main(argv=None):
+    # reset between in-process invocations: absl FlagValues keep previously
+    # parsed values for flags the new argv doesn't mention
+    FLAGS.unparse_flags()
     FLAGS(argv if argv is not None else sys.argv)
     return train()
 

@@ -40,6 +40,14 @@ def load_state(path: str, target):
         return serialization.from_bytes(target, f.read())
 
 
+def load_raw(path: str):
+    """Restore a checkpoint as plain nested dicts without a template — for
+    cross-model transplants (e.g. a vision experiment's backbone subtree into
+    the captioner's src_embed, reference train_gnmt.py:152-161)."""
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
 def epoch_path(exp_dir: str, epoch: int) -> str:
     return os.path.join(exp_dir, f"{epoch:04d}.params")
 

@@ -88,3 +88,42 @@ def test_train_gnmt_cycle(env):
     ])
     assert set(suite) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR",
                           "ROUGE_L", "CIDEr"}
+
+
+def test_train_gnmt_pixels_path(env):
+    """Pixels-path captioner: backbone transplant + freeze + on-device augment
+    (reference train_gnmt.py:149-180)."""
+    root, workdir = env
+    import jax
+    import jax.numpy as jnp
+
+    from tennis_tpu.models import FrameModel, get_backbone
+    from tennis_tpu.parallel import create_train_state, sgd_with_schedule
+    from tennis_tpu.utils import checkpoint as ckpt
+    from tennis_tpu.utils.experiments import experiment_dir
+
+    # synthetic donor vision experiment (one saved epoch)
+    model = FrameModel(get_backbone("resnet18_v2", dtype=jnp.float32),
+                       num_classes=11, dtype=jnp.float32)
+    tx, _ = sgd_with_schedule(0.01)
+    donor = create_train_state(model, jax.random.PRNGKey(3),
+                               jnp.zeros((1, 32, 32, 3)), tx, {"train": True})
+    exp = experiment_dir("vision", "t2")
+    ckpt.save_state(ckpt.epoch_path(exp, 0), donor)
+
+    from tennis_tpu.train_gnmt import main as gnmt_main
+
+    params = gnmt_main([
+        "train_gnmt.py", f"--root={root}", "--model_id=g2",
+        "--backbone=resnet18_v2", "--backbone_from_id=t2", "--freeze_backbone",
+        "--data_shape=32", "--epochs=1", "--batch_size=2",
+        "--test_batch_size=2", "--num_hidden=16", "--emb_size=8",
+        "--num_buckets=1", "--tgt_max_len=10", "--emb_file=", "--every=10",
+        "--max_batches=2", "--log_interval=1",
+    ])
+    # frozen backbone: src_embed must still equal the transplanted donor weights
+    donor_leaves = jax.tree_util.tree_leaves(
+        jax.device_get(donor.params["backbone"]))
+    got_leaves = jax.tree_util.tree_leaves(jax.device_get(params["src_embed"]))
+    assert len(donor_leaves) == len(got_leaves)
+    assert all(np.allclose(a, b) for a, b in zip(donor_leaves, got_leaves))
