@@ -1,11 +1,15 @@
-"""Headline benchmark: DenseNet121 per-frame feature extraction, frames/sec/chip.
+"""Headline benchmark: DenseNet121 per-frame feature extraction, frames/sec/chip,
+plus the full DenseNet121-512 training step (ms/step, samples/sec, TFLOP/s, MFU).
 
-This is the reference pipeline's throughput-critical stage (``--save_feats`` dumping
-4096-d features at 512², reference train.py:530-545) and the driver's north-star
-metric ("≥10× MXNet frames/sec/chip on v5e feature extraction").
+The extraction path is the reference pipeline's throughput-critical stage
+(``--save_feats`` dumping 4096-d features at 512², reference train.py:530-545) and
+the driver's north-star metric ("≥10× MXNet frames/sec/chip on v5e feature
+extraction"). The train row is the reference's hot loop (train.py:404-431) through
+the SAME make_train_step harness the production driver uses — fused uint8 augment,
+SGD+momentum+wd, donated state.
 
-Setup: FrameModel(DenseNet121) feature path at 512×512, bf16 compute, NHWC, uint8
-input with the fused on-device uint8→normalize stage (tennis_tpu.data.transforms).
+Setup: FrameModel(DenseNet121) at 512×512, bf16 compute, NHWC, uint8 input with the
+fused on-device uint8→normalize stage (tennis_tpu.data.transforms).
 
 Timing protocol: this environment reaches the TPU through a tunnel where
 ``block_until_ready`` does not actually synchronize, so N forward passes run inside
@@ -16,7 +20,9 @@ any iteration) and the measurement barrier is a single scalar fetch to host. The
 Baseline: the reference publishes no throughput numbers (BASELINE.md). We use an
 estimated 100 frames/sec/GPU for MXNet/cuDNN DenseNet121 inference at 512² on
 reference-era hardware (≈30 GFLOPs/frame; concat-heavy DenseNet ran at ~0.1 of peak
-on MXNet-era GPUs). ``vs_baseline`` = measured / 100.
+on MXNet-era GPUs). ``vs_baseline`` = measured / 100. MFU is self-grounding:
+achieved TFLOP/s (XLA's own cost analysis of the compiled program) over the v5e
+bf16 peak (197 TFLOP/s/chip), so the estimated denominator is not the only anchor.
 
 Prints exactly one JSON line.
 """
@@ -29,9 +35,102 @@ import time
 import numpy as np
 
 MXNET_BASELINE_FPS = 100.0  # documented estimate, see module docstring
+V5E_PEAK_TFLOPS = 197.0  # bf16 peak per chip
 DATA_SHAPE = 512
 BATCH_CANDIDATES = (128, 256)
 N_SHORT, N_LONG = 2, 12
+TRAIN_BATCHES = (64, 96)  # 128 exceeds HBM (19.3G needed of 15.75G)
+TRAIN_N_SHORT, TRAIN_N_LONG = 2, 8
+
+
+def _flops_of(jitted, *args) -> float:
+    """XLA's cost-analysis flop count for one call of a compiled function;
+    0.0 when the backend does not expose it."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) if cost else 0.0
+    except Exception as e:
+        print(f"# cost_analysis unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        return 0.0
+
+
+def measure_train(jax, jnp):
+    """Full training step (augment → DenseNet121 fwd/bwd → SGD update) through the
+    production harness; returns the best row over batch candidates."""
+    from tennis_tpu.data.transforms import device_augment
+    from tennis_tpu.models import FrameModel, get_backbone
+    from tennis_tpu.parallel import (
+        create_train_state, make_mesh, make_train_step, sgd_with_schedule,
+    )
+    from tennis_tpu.parallel.sharding_rules import state_shardings
+
+    model = FrameModel(get_backbone("densenet121", dtype=jnp.bfloat16),
+                       num_classes=11, dtype=jnp.bfloat16)
+    mesh = make_mesh(num_data=1)
+    tx, _ = sgd_with_schedule(0.001)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(
+        model, rng, jnp.zeros((1, DATA_SHAPE, DATA_SHAPE, 3), jnp.float32), tx,
+        {"train": True}, mesh=mesh,
+    )
+    sh_state = state_shardings(mesh, state)
+    step = make_train_step(model, mesh=mesh, preprocess=device_augment,
+                           rng_seed=7, state_sharding=sh_state)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
+    def train_n(state, images_u8, labels, n):
+        def body(i, carry):
+            state, acc = carry
+            imgs = images_u8 + i.astype(jnp.uint8)  # loop-dependent input
+            state, loss, _logits = step(state, imgs, labels)
+            return state, acc + loss
+        state, acc = jax.lax.fori_loop(0, n, body,
+                                       (state, jnp.float32(0.0)))
+        return state, acc
+
+    best = None
+    for batch in TRAIN_BATCHES:
+        r = np.random.default_rng(0)
+        images = jax.device_put(r.integers(
+            0, 255, (batch, DATA_SHAPE, DATA_SHAPE, 3), dtype=np.uint8))
+        labels = jax.device_put(r.integers(0, 11, (batch,), dtype=np.int32))
+        flops_step = _flops_of(step, state, images, labels)
+        try:
+            def timed(n):
+                nonlocal state
+                tic = time.perf_counter()
+                state, acc = train_n(state, images, labels, n)
+                acc = float(acc)  # fetch = true barrier
+                assert np.isfinite(acc)
+                return time.perf_counter() - tic
+
+            timed(TRAIN_N_SHORT)  # compile both loop lengths
+            timed(TRAIN_N_LONG)
+            t_short = timed(TRAIN_N_SHORT)
+            t_long = timed(TRAIN_N_LONG)
+        except Exception as e:
+            print(f"# train batch {batch} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            continue
+        dt = max(t_long - t_short, 1e-9) / (TRAIN_N_LONG - TRAIN_N_SHORT)
+        sps = batch / dt
+        tflops = flops_step / dt / 1e12
+        row = {
+            "batch": batch,
+            "ms_per_step": round(dt * 1e3, 1),
+            "samples_per_sec": round(sps, 1),
+            "tflops": round(tflops, 1),
+            "mfu": round(tflops / V5E_PEAK_TFLOPS, 3),
+        }
+        print(f"# train {row}", file=sys.stderr)
+        if best is None or sps > best["samples_per_sec"]:
+            best = row
+    return best
 
 
 def main():
@@ -75,13 +174,18 @@ def main():
         assert np.isfinite(acc)
         return dt
 
-    best_fps, best_batch = 0.0, 0
+    @jax.jit
+    def extract_one(variables, images_u8):
+        return model.apply(variables, device_prepare(images_u8), train=False)
+
+    best_fps, best_batch, best_flops = 0.0, 0, 0.0
     for batch in BATCH_CANDIDATES:
         images = jax.device_put(
             np.random.default_rng(0).integers(
                 0, 255, (batch, DATA_SHAPE, DATA_SHAPE, 3), dtype=np.uint8
             )
         )
+        flops_fwd = _flops_of(extract_one, variables, images)
         try:
             timed(batch, N_SHORT, images)  # compile both loop lengths
             timed(batch, N_LONG, images)
@@ -99,7 +203,10 @@ def main():
             file=sys.stderr,
         )
         if fps > best_fps:
-            best_fps, best_batch = fps, batch
+            best_fps, best_batch, best_flops = fps, batch, flops_fwd
+
+    infer_tflops = best_fps * (best_flops / max(best_batch, 1)) / 1e12
+    train_row = measure_train(jax, jnp)
 
     result = {
         "metric": "frames/sec/chip (DenseNet121-512 feature extraction)",
@@ -107,6 +214,9 @@ def main():
         "unit": "frames/sec",
         "vs_baseline": round(best_fps / MXNET_BASELINE_FPS, 2),
         "batch": best_batch,
+        "tflops": round(infer_tflops, 1),
+        "mfu": round(infer_tflops / V5E_PEAK_TFLOPS, 3),
+        "train": train_row,
     }
     print(json.dumps(result))
 

@@ -106,13 +106,18 @@ class _SlicedBNRelu(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
+        # stats/params stay f32 (above); the NORMALIZE pass runs in the compute
+        # dtype — per-channel (scale, shift) folded on the f32 side first, so the
+        # big activation tensors never materialize as f32 (the train step's
+        # elementwise fusions are HBM-bound; f32 intermediates double their bytes)
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        shift = bias - mean * inv
         out = []
         for p, o in zip(parts, offsets):
             c = p.shape[-1]
-            m, iv, b = mean[o : o + c], inv[o : o + c], bias[o : o + c]
-            y = (p.astype(jnp.float32) - m) * iv + b
-            out.append(nn.relu(y).astype(self.dtype))
+            iv = inv[o : o + c].astype(self.dtype)
+            sh = shift[o : o + c].astype(self.dtype)
+            out.append(nn.relu(p.astype(self.dtype) * iv + sh))
         return out
 
 

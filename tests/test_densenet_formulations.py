@@ -21,7 +21,9 @@ def test_concat_free_equals_naive():
     fa = jax.jit(lambda v, x: a.apply(v, x, train=True, mutable=["batch_stats"]))
     fb = jax.jit(lambda v, x: b.apply(v, x, train=True, mutable=["batch_stats"]))
     (ya, ma), (yb, mb) = fa(variables, x), fb(variables, x)
-    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=1e-5)
+    # 5e-5: the folded (scale, shift) normalize fuses into different FMA
+    # association orders in the two graph structures
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=5e-5)
     for pa, pb in zip(jax.tree_util.tree_leaves(ma["batch_stats"]),
                       jax.tree_util.tree_leaves(mb["batch_stats"])):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-4)
