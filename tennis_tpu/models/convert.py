@@ -150,7 +150,10 @@ _FLOWNET_MAP = {
 
 def convert_torch_flownets(state_dict, prefix: str = "") -> dict:
     """FlowNet2-S torch checkpoint → our FlowNetS layout. Transposed convs in
-    torch are IOHW → flax ConvTranspose HWIO uses (2,3,0,1)."""
+    torch are IOHW → flax ConvTranspose (kh, kw, in, out) via (2,3,0,1), PLUS a
+    spatial flip: torch's conv_transpose2d is the conv gradient (correlates with
+    the flipped kernel) while flax's ConvTranspose applies the kernel unflipped
+    (caught by the golden-activation test, tests/test_convert_golden.py)."""
     out = {}
     for src, dst in _FLOWNET_MAP.items():
         w = state_dict.get(f"{src}.weight")
@@ -158,7 +161,8 @@ def convert_torch_flownets(state_dict, prefix: str = "") -> dict:
             continue
         w = np.asarray(w)
         if dst.startswith(("deconv", "upflow")):
-            out[f"{prefix}{dst}/kernel"] = np.transpose(w, (2, 3, 0, 1))
+            out[f"{prefix}{dst}/kernel"] = np.transpose(
+                w, (2, 3, 0, 1))[::-1, ::-1].copy()
         else:
             out[f"{prefix}{dst}/kernel"] = _conv2d(w)
         b = state_dict.get(f"{src}.bias")

@@ -9,8 +9,12 @@ finest (quarter-resolution) flow.
 
 Input: (B, 2, H, W, 3) image pairs — the pair folds onto channels, giving a
 6-channel NHWC input (the reference reshapes NCHW likewise, model.py:86).
-Deconvs use stride-2 kernel-4 'SAME' transposed convs (2× upsampling; boundary
-semantics differ from torch's pad=1 by at most the outermost pixel ring).
+
+Padding parity: encoder convs use EXPLICIT symmetric k//2 padding — XLA 'SAME'
+pads strided odd-kernel convs asymmetrically ((2,3) for k=7 s=2), which shifts
+the sampling grid one pixel off the torch-ported weights (caught by the
+golden-activation test). Deconvs are stride-2 kernel-4 'SAME' transposed convs,
+equal to torch's pad=1 up to the outermost output ring.
 """
 from __future__ import annotations
 
@@ -35,7 +39,8 @@ class FlowNetS(nn.Module):
         x = x.astype(self.dtype)
 
         conv = lambda c, k, s, name: nn.Conv(
-            c, (k, k), strides=(s, s), padding="SAME", dtype=self.dtype, name=name
+            c, (k, k), strides=(s, s), padding=((k // 2, k // 2),) * 2,
+            dtype=self.dtype, name=name
         )
         deconv = lambda c, name, bias=True: nn.ConvTranspose(
             c, (4, 4), strides=(2, 2), padding="SAME", use_bias=bias,
