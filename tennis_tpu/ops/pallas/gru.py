@@ -15,12 +15,15 @@ in one ``pallas_call``:
 
 Forward-only (inference/decode); training uses the autodiff scan.
 
-Measured on v5e at CNN-RNN shapes (T=30, B=64, C=4096, H=128), exact numerical
-match with the scan implementation: 23× faster than the per-step-projection scan;
-on par with the hoisted-projection XLA scan (1.8 ms vs 1.7 ms) — XLA already
-pipelines this recurrence well at these sizes, so tennis_tpu.ops.rnn.RNNLayer
-remains the default and this kernel is the drop-in for decode-style workloads
-where kernel-launch overhead dominates.
+Measured on v5e, exact numerical match with the scan implementation:
+- CNN-RNN shapes (T=30, B=64, C=4096, H=128): 23× faster than the
+  per-step-projection scan; on par with the hoisted-projection XLA scan
+  (1.8 ms vs 1.7 ms) — training keeps the autodiff scan;
+- beam-4 decode (features path, B=32, T=120, C=4096, full 30-step decode,
+  loop-carried timing): 4.21 → 1.60 ms/batch end to end, 2.6× — ADOPTED as the
+  default encoder path in BeamSearchTranslator (tennis_tpu/translation.py), via
+  the ``pallas_gru`` context in ops/rnn.py (falls back to the scan off-TPU or
+  beyond the VMEM budget).
 """
 from __future__ import annotations
 
@@ -35,11 +38,13 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_LIMIT_BYTES = 12 * 1024 * 1024
 
 
-def _recurrence_kernel(gx_ref, h0_ref, wh_ref, bh_ref, ys_ref, h_final_ref):
+def _recurrence_kernel(gx_ref, h0_ref, wh_ref, bh_ref, vl_ref, ys_ref,
+                       h_final_ref):
     T = gx_ref.shape[0]
     H = h0_ref.shape[-1]
     wh = wh_ref[:]
     bh = bh_ref[:]
+    vl = vl_ref[:]
 
     def step(t, h):
         gx = gx_ref[t]
@@ -48,44 +53,61 @@ def _recurrence_kernel(gx_ref, h0_ref, wh_ref, bh_ref, ys_ref, h_final_ref):
         z = jax.nn.sigmoid(gx[:, H : 2 * H] + gh[:, H : 2 * H])
         n = jnp.tanh(gx[:, 2 * H :] + r * gh[:, 2 * H :])
         new_h = (1.0 - z) * n + z * h
-        ys_ref[t] = new_h
+        # valid-length semantics of ops.rnn.RNNLayer: carry freezes at t >= vl,
+        # outputs past vl are zero
+        alive = (t < vl).astype(jnp.float32)[:, None]
+        new_h = alive * new_h + (1.0 - alive) * h
+        ys_ref[t] = new_h * alive
         return new_h
 
     h = jax.lax.fori_loop(0, T, step, h0_ref[:].astype(jnp.float32))
     h_final_ref[:] = h
 
 
-def gru_recurrence_pallas(gates_x, h0, wh, bh, interpret: bool = False):
+def gru_fits_vmem(T: int, B: int, H: int) -> bool:
+    """Whether the whole recurrence (gates, outputs, weights) fits the kernel's
+    VMEM budget."""
+    G = 3 * H
+    vmem = 4 * (T * B * G + T * B * H + H * G + B * H)
+    return vmem <= _VMEM_LIMIT_BYTES
+
+
+def gru_recurrence_pallas(gates_x, h0, wh, bh, valid_length=None,
+                          interpret: bool = False):
     """GRU recurrence over precomputed input gates.
 
     Args:
         gates_x: (T, B, 3H) = x @ Wx + bx for every step (one big matmul upstream).
         h0: (B, H); wh: (H, 3H); bh: (3H,). Gate order r, z, n (cuDNN).
+        valid_length: optional (B,) int; past it the carry freezes and outputs
+            are zeroed (ops.rnn.RNNLayer masking semantics).
 
     Returns:
         (ys (T, B, H), h_final (B, H)) float32.
     """
     T, B, G = gates_x.shape
     H = h0.shape[-1]
-    vmem = 4 * (T * B * G + T * B * H + H * G + B * H)
-    if vmem > _VMEM_LIMIT_BYTES:
+    if not gru_fits_vmem(T, B, H):
         raise ValueError(
-            f"sequence too large for the VMEM-resident kernel ({vmem} bytes); "
+            "sequence too large for the VMEM-resident kernel; "
             "fall back to tennis_tpu.ops.rnn"
         )
+    if valid_length is None:
+        valid_length = jnp.full((B,), T, jnp.int32)
     return pl.pallas_call(
         _recurrence_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((T, B, H), jnp.float32),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(gates_x.astype(jnp.float32), h0, wh, bh)
+    )(gates_x.astype(jnp.float32), h0, wh, bh,
+      valid_length.astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

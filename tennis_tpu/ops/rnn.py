@@ -14,6 +14,8 @@ models/captioning/gnmt.py:141-156, 288-294) with scan-based recurrence:
 """
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import Any
 
 import jax
@@ -21,6 +23,22 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tennis_tpu.ops.masking import reverse_sequence, sequence_mask
+
+# Opt-in switch for the VMEM-resident Pallas GRU recurrence (forward-only; for
+# inference paths like beam-search decode). Must be active while the consuming
+# function TRACES; see BeamSearchTranslator(use_pallas_gru=True).
+_PALLAS_GRU = contextvars.ContextVar("pallas_gru", default=False)
+
+
+@contextlib.contextmanager
+def pallas_gru(enabled: bool = True):
+    """Enable the fused Pallas GRU recurrence in RNNLayer within this context
+    (GRU only, forward-only — do not enable under jax.grad)."""
+    token = _PALLAS_GRU.set(enabled)
+    try:
+        yield
+    finally:
+        _PALLAS_GRU.reset(token)
 
 
 class GRUCell(nn.Module):
@@ -165,13 +183,6 @@ class RNNLayer(nn.Module):
             inputs.astype(self.dtype)
         )  # (B, T, G)
 
-        scan = nn.scan(
-            _RecurrentStep,
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            in_axes=0,
-            out_axes=0,
-        )
         gx = jnp.swapaxes(gates_x, 0, 1)  # (T, B, G)
         t_idx = jnp.arange(gx.shape[0])
         vl = (
@@ -179,10 +190,44 @@ class RNNLayer(nn.Module):
             if valid_length is not None
             else jnp.full((B,), gx.shape[0], jnp.int32)
         )
-        final, ys = scan(
-            cell_type=self.cell_type, hidden_size=H, dtype=self.dtype,
-            name="recurrence",
-        )(initial_state, (t_idx, gx, jnp.broadcast_to(vl[None], (gx.shape[0], B))))
+
+        use_pallas = (
+            _PALLAS_GRU.get()
+            and self.cell_type == "gru"
+            and not self.is_initializing()
+            and jax.default_backend() == "tpu"
+        )
+        if use_pallas:
+            from tennis_tpu.ops.pallas.gru import gru_fits_vmem
+
+            use_pallas = gru_fits_vmem(gx.shape[0], B, H)
+
+        if use_pallas:
+            # same parameter tree as the scan path: read the recurrence/h2h
+            # Dense params from this (bound) module's scope
+            from tennis_tpu.ops.pallas.gru import gru_recurrence_pallas
+
+            p = self.variables["params"]["recurrence"]["h2h"]
+            ys, final = gru_recurrence_pallas(
+                gx, initial_state.astype(jnp.float32),
+                jnp.asarray(p["kernel"], jnp.float32),
+                jnp.asarray(p["bias"], jnp.float32), vl,
+            )
+            ys = ys.astype(self.dtype)
+            final = final.astype(self.dtype)
+        else:
+            scan = nn.scan(
+                _RecurrentStep,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=0,
+                out_axes=0,
+            )
+            final, ys = scan(
+                cell_type=self.cell_type, hidden_size=H, dtype=self.dtype,
+                name="recurrence",
+            )(initial_state,
+              (t_idx, gx, jnp.broadcast_to(vl[None], (gx.shape[0], B))))
         ys = jnp.swapaxes(ys, 0, 1)
         if self.reverse:
             ys = reverse_sequence(ys, valid_length, axis=1)

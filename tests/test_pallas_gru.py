@@ -44,3 +44,34 @@ def test_pallas_gru_t1():
     h_ref, _ = cell.apply(params, h0, x[0])
     np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(ys[0]), np.asarray(h_ref), atol=1e-5)
+
+
+def test_rnnlayer_pallas_path_matches_scan():
+    """RNNLayer with the pallas_gru context must reproduce the scan path exactly
+    (masking included) while sharing one parameter tree."""
+    import jax.numpy as jnp
+
+    from tennis_tpu.ops.pallas import gru as pg
+    from tennis_tpu.ops.rnn import RNNLayer, pallas_gru
+
+    # CPU: route the kernel through the interpreter
+    orig = pg.pl.pallas_call
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+    pg.pl.pallas_call = interp_call
+    try:
+        layer = RNNLayer("gru", 8, dtype=jnp.float32)
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.normal(rng, (3, 6, 5))
+        vl = jnp.asarray([6, 4, 2])
+        params = layer.init(rng, x, vl)
+        f_scan, y_scan = layer.apply(params, x, vl)
+        with pallas_gru():
+            f_pl, y_pl = layer.apply(params, x, vl)
+        np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_scan),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(f_pl), np.asarray(f_scan),
+                                   atol=1e-5)
+    finally:
+        pg.pl.pallas_call = orig
