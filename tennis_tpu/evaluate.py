@@ -118,20 +118,27 @@ def evaluate_model():
             logits = model.apply(variables, images, train=False)
         return jax.nn.softmax(logits, axis=-1)
 
+    from tennis_tpu.data.loader import prefetch_to_device
     from tennis_tpu.parallel.mesh import pad_batch
 
     metrics = train_driver._metric_set(test_set.classes)
     results, gts = {}, {}
     tic = time.time()
-    for batch in iter(loader):
-        (images, labels, idxs), n = pad_batch(batch, FLAGS.batch_size)
-        images = jax.device_put(images, batch_sharding(mesh))
+
+    def padded():
+        for batch in iter(loader):
+            yield pad_batch(batch, FLAGS.batch_size)
+
+    # device transfers overlap compute; one host fetch per batch feeds all metrics
+    for (images, labels, idxs), n in prefetch_to_device(padded(),
+                                                        batch_sharding(mesh)):
         probs = eval_step(state.params, state.batch_stats, images)
-        labels, probs, idxs = labels[:n], probs[:n], np.asarray(idxs)[:n]
+        probs_np = np.asarray(jax.device_get(probs))[:n]
+        labels = np.asarray(jax.device_get(labels))[:n]
+        idxs = np.asarray(jax.device_get(idxs))[:n]
         for m in metrics.values():
-            m.update(labels, probs)
-        probs_np = np.asarray(jax.device_get(probs))
-        for p, label, idx in zip(probs_np, np.asarray(labels), np.asarray(idxs)):
+            m.update(labels, probs_np)
+        for p, label, idx in zip(probs_np, labels, idxs):
             sample = test_set._samples[int(idx)]
             img_path = get_image_path("frames", sample[0], sample[1])
             results[img_path] = p

@@ -51,6 +51,37 @@ def test_train_evaluate_vision_cycle(env):
     assert len(feats) > 0
 
 
+def test_evaluate_vision_driver(env):
+    """evaluate.py: best-epoch load, metric suite, results dict, --vis overlay
+    (reference evaluate.py:78-270). Depends on the t1 experiment trained above."""
+    import os
+
+    root, workdir = env
+    from absl import app, flags
+
+    from tennis_tpu import evaluate as evaluate_driver
+
+    flags.FLAGS.unparse_flags()
+    argv = [
+        "evaluate.py", f"--root={root}", "--model_id=t1",
+        "--backbone=resnet18_v2", "--data_shape=32", "--batch_size=8",
+        "--num_workers=2", "--vis",
+    ]
+    results = {}
+    def run(_argv):
+        r, g, m = evaluate_driver.evaluate_model()
+        results.update(r=r, g=g, m=m)
+    try:
+        app.run(run, argv=argv)
+    except SystemExit:
+        pass
+    assert len(results["r"]) > 0 and len(results["r"]) == len(results["g"])
+    probs = next(iter(results["r"].values()))
+    assert probs.shape == (11,) and abs(float(probs.sum()) - 1.0) < 1e-3
+    exp = os.path.join(workdir, "models", "vision", "experiments", "t1")
+    assert os.path.exists(os.path.join(exp, "results.mp4"))
+
+
 def test_train_gnmt_cycle(env):
     root, workdir = env
     from tennis_tpu.train_gnmt import main as gnmt_main
