@@ -39,7 +39,10 @@ V5E_PEAK_TFLOPS = 197.0  # bf16 peak per chip
 DATA_SHAPE = 512
 BATCH_CANDIDATES = (128, 256)
 N_SHORT, N_LONG = 2, 12
-TRAIN_BATCHES = (64, 96)  # 128 exceeds HBM (19.3G needed of 15.75G)
+# (batch, remat) candidates: without remat, batch 128 exceeds HBM (19.3G of
+# 15.75G); block-remat recomputes each dense block's chain in backward, fitting
+# batch 128 at 19.2% MFU (measured best: 334 vs 278 samples/sec, see README)
+TRAIN_CANDIDATES = ((96, None), (128, "block"))
 TRAIN_N_SHORT, TRAIN_N_LONG = 2, 8
 
 
@@ -67,34 +70,37 @@ def measure_train(jax, jnp):
     )
     from tennis_tpu.parallel.sharding_rules import state_shardings
 
-    model = FrameModel(get_backbone("densenet121", dtype=jnp.bfloat16),
-                       num_classes=11, dtype=jnp.bfloat16)
+    from functools import partial
+
     mesh = make_mesh(num_data=1)
     tx, _ = sgd_with_schedule(0.001)
     rng = jax.random.PRNGKey(0)
-    state = create_train_state(
-        model, rng, jnp.zeros((1, DATA_SHAPE, DATA_SHAPE, 3), jnp.float32), tx,
-        {"train": True}, mesh=mesh,
-    )
-    sh_state = state_shardings(mesh, state)
-    step = make_train_step(model, mesh=mesh, preprocess=device_augment,
-                           rng_seed=7, state_sharding=sh_state)
-
-    from functools import partial
-
-    @partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
-    def train_n(state, images_u8, labels, n):
-        def body(i, carry):
-            state, acc = carry
-            imgs = images_u8 + i.astype(jnp.uint8)  # loop-dependent input
-            state, loss, _logits = step(state, imgs, labels)
-            return state, acc + loss
-        state, acc = jax.lax.fori_loop(0, n, body,
-                                       (state, jnp.float32(0.0)))
-        return state, acc
 
     best = None
-    for batch in TRAIN_BATCHES:
+    for batch, remat in TRAIN_CANDIDATES:
+        model = FrameModel(
+            get_backbone("densenet121", dtype=jnp.bfloat16, remat=remat),
+            num_classes=11, dtype=jnp.bfloat16,
+        )
+        state = create_train_state(
+            model, rng, jnp.zeros((1, DATA_SHAPE, DATA_SHAPE, 3), jnp.float32),
+            tx, {"train": True}, mesh=mesh,
+        )
+        sh_state = state_shardings(mesh, state)
+        step = make_train_step(model, mesh=mesh, preprocess=device_augment,
+                               rng_seed=7, state_sharding=sh_state)
+
+        @partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
+        def train_n(state, images_u8, labels, n, step=step):
+            def body(i, carry):
+                state, acc = carry
+                imgs = images_u8 + i.astype(jnp.uint8)  # loop-dependent input
+                state, loss, _logits = step(state, imgs, labels)
+                return state, acc + loss
+            state, acc = jax.lax.fori_loop(0, n, body,
+                                           (state, jnp.float32(0.0)))
+            return state, acc
+
         r = np.random.default_rng(0)
         images = jax.device_put(r.integers(
             0, 255, (batch, DATA_SHAPE, DATA_SHAPE, 3), dtype=np.uint8))
@@ -122,8 +128,11 @@ def measure_train(jax, jnp):
         tflops = flops_step / dt / 1e12
         row = {
             "batch": batch,
+            "remat": remat,
             "ms_per_step": round(dt * 1e3, 1),
             "samples_per_sec": round(sps, 1),
+            # achieved hardware FLOP rate (XLA cost analysis of the compiled
+            # step; under remat this counts the recompute as executed work)
             "tflops": round(tflops, 1),
             "mfu": round(tflops / V5E_PEAK_TFLOPS, 3),
         }

@@ -15,12 +15,19 @@ def _normalize(name: str) -> str:
     return name.lower().replace("-", "").replace("_", "")
 
 
-def get_backbone(name: str, in_channels: int = 3, dtype=jnp.bfloat16):
-    """Build a feature-extractor backbone module by gluoncv-style name."""
+def get_backbone(name: str, in_channels: int = 3, dtype=jnp.bfloat16,
+                 remat: str | None = None):
+    """Build a feature-extractor backbone module by gluoncv-style name.
+
+    ``remat`` (DenseNet only): "block" checkpoints each dense block — see
+    DenseNet.remat. Cuts training activation memory to fit larger batches.
+    """
     key = _normalize(name)
     if key.startswith("densenet"):
         depth = int(key[len("densenet"):])
-        return DenseNet(spec=DENSENET_SPECS[depth], dtype=dtype)
+        return DenseNet(spec=DENSENET_SPECS[depth], dtype=dtype, remat=remat)
+    if remat is not None:
+        raise ValueError(f"remat is only supported for DenseNet, got {name!r}")
     if key.startswith("resnet") and key.endswith("v2"):
         depth = int(key[len("resnet"):-2])
         return ResNetV2(spec=RESNET_SPECS[depth], dtype=dtype)

@@ -149,6 +149,16 @@ class _SlicedConv1x1(nn.Module):
         return out
 
 
+def _merge_parts(parts, pending, concat_free: bool):
+    """The block state as a part list: one concatenated tensor (naive mode) or
+    the untouched list (concat-free mode)."""
+    if not concat_free:
+        merged = jnp.concatenate(parts + pending, axis=-1) \
+            if len(parts) + len(pending) > 1 else (parts + pending)[0]
+        return [merged]
+    return parts + pending
+
+
 class _DenseLayer(nn.Module):
     """Concat-free dense layer: parts → new growth-channel part."""
 
@@ -193,6 +203,43 @@ class DenseNet(nn.Module):
     # XLA fuses the concat into the consuming conv better than decomposed GEMMs.
     # Kept as an option (equivalence tested) for future Pallas dense-block work.
     concat_free: bool = False
+    # Rematerialization (training memory lever):
+    #   None    — store everything XLA decides to (default)
+    #   "block" — jax.checkpoint around each dense BLOCK: only block inputs are
+    #             stored; the block's forward chain (every growing concat state)
+    #             is recomputed during its backward, so peak activation memory is
+    #             ~the largest block's residual set instead of the sum over all
+    #             blocks (per-LAYER remat cannot help here: a layer's input IS
+    #             the concatenated state, which is then pinned as a residual).
+    remat: str | None = None
+
+    def _dense_block(self, parts, i: int, num_layers: int, channels: int,
+                     train: bool):
+        """Run block ``i``'s layers over the part list; returns the new list.
+
+        ``parts``/``pending`` form the virtual concatenation of the block state.
+        In concat-free mode, fresh growth-width (32-ch) outputs collect in
+        ``pending`` and merge into one 128-wide chunk every ``merge_every``
+        layers: the sliced matmuls then all have MXU-sized K dims, and the only
+        concats ever materialized are of small same-size growth tensors — never
+        the growing block state.
+        """
+        merge_every = max(1, 128 // self.spec.growth_rate)
+        pending = []
+        for j in range(num_layers):
+            cur = _merge_parts(parts, pending, self.concat_free)
+            if not self.concat_free:
+                parts, pending = cur, []
+            h = _DenseLayer(channels, self.spec.growth_rate,
+                            self.spec.bn_size, self.dtype,
+                            name=f"block{i}_layer{j}")(cur, train)
+            pending.append(h)
+            channels += self.spec.growth_rate
+            if len(pending) >= merge_every:
+                parts.append(jnp.concatenate(pending, axis=-1)
+                             if len(pending) > 1 else pending[0])
+                pending = []
+        return parts + pending
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -204,44 +251,26 @@ class DenseNet(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
-        # `parts` is the virtual concatenation of the block state. In concat-free
-        # mode, fresh growth-width (32-ch) outputs collect in `pending` and merge
-        # into one 128-wide chunk every `merge_every` layers: the sliced matmuls
-        # then all have MXU-sized K dims, and the only concats ever materialized
-        # are of small same-size growth tensors — never the growing block state.
-        merge_every = max(1, 128 // self.spec.growth_rate)
-        parts, pending = [x], []
+        block_fn = DenseNet._dense_block
+        if self.remat == "block":
+            # static_argnums count the module as argument 0
+            block_fn = nn.remat(block_fn, static_argnums=(2, 3, 4, 5))
+        elif self.remat is not None:
+            raise ValueError(f"unknown remat mode {self.remat!r}")
 
-        def state():
-            if not self.concat_free:
-                merged = jnp.concatenate(parts + pending, axis=-1) \
-                    if len(parts) + len(pending) > 1 else (parts + pending)[0]
-                return [merged]
-            return parts + pending
-
+        parts = [x]
         channels = self.spec.num_init_features
         for i, num_layers in enumerate(self.spec.block_config):
-            for j in range(num_layers):
-                cur = state()
-                if not self.concat_free:
-                    parts, pending = cur, []
-                h = _DenseLayer(channels, self.spec.growth_rate,
-                                self.spec.bn_size, self.dtype,
-                                name=f"block{i}_layer{j}")(cur, train)
-                pending.append(h)
-                channels += self.spec.growth_rate
-                if len(pending) >= merge_every:
-                    parts.append(jnp.concatenate(pending, axis=-1)
-                                 if len(pending) > 1 else pending[0])
-                    pending = []
+            parts = block_fn(self, parts, i, num_layers, channels, train)
+            channels += num_layers * self.spec.growth_rate
             if i != len(self.spec.block_config) - 1:
-                cur = state()
+                cur = _merge_parts(parts, [], self.concat_free)
                 out = _Transition(channels, channels // 2, self.dtype,
                                   name=f"transition{i}")(cur, train)
                 channels //= 2
-                parts, pending = [out], []
+                parts = [out]
 
-        parts = state()
+        parts = _merge_parts(parts, [], self.concat_free)
 
         parts = _SlicedBNRelu(channels, self.dtype, name="bn_final")(parts, train)
         # gluon parity: fixed 7×7 average pool, stride 7 (NOT global pooling) then

@@ -1,4 +1,4 @@
-"""Multi-host (pod) entry: ``jax.distributed`` wiring + DCN×ICI mesh construction.
+r"""Multi-host (pod) entry: ``jax.distributed`` wiring + DCN×ICI mesh construction.
 
 The reference is strictly single-host (SURVEY §5.8: gluon Trainer over an
 in-process kvstore, no NCCL/MPI anywhere). The TPU-native equivalent of "more

@@ -69,6 +69,9 @@ flags.DEFINE_string("coordinator", None,
                     "— auto-discovered)")
 flags.DEFINE_integer("num_hosts", None, "multihost process count (omit on pods)")
 flags.DEFINE_integer("host_id", None, "this process's index (omit on pods)")
+flags.DEFINE_enum("remat", "none", ["none", "block"],
+                  "Dense-block rematerialization (DenseNet backbones): trades "
+                  "recompute for activation memory so larger batches fit")
 
 
 def build_model(num_classes: int, feats: bool):
@@ -79,6 +82,9 @@ def build_model(num_classes: int, feats: bool):
 
     dtype = jnp.bfloat16
     temp_pool = FLAGS.temp_pool
+    remat = None if FLAGS.remat == "none" else FLAGS.remat
+    if remat and not FLAGS.backbone.lower().startswith("densenet"):
+        raise ValueError("--remat supports DenseNet backbones only")
     if feats:
         base = None
     elif FLAGS.backbone.lower() == "rdnet":
@@ -89,12 +95,13 @@ def build_model(num_classes: int, feats: bool):
                         dtype=dtype)
         return FrameModel(base, num_classes, dtype=dtype)
     elif FLAGS.flow in ("twos", "only"):
-        rgb = None if FLAGS.flow == "only" else get_backbone(FLAGS.backbone,
-                                                             dtype=dtype)
-        flow_net = get_backbone(FLAGS.backbone, dtype=dtype)
+        rgb = None if FLAGS.flow == "only" else get_backbone(
+            FLAGS.backbone, dtype=dtype, remat=remat)
+        flow_net = get_backbone(FLAGS.backbone, dtype=dtype, remat=remat)
         return TwoStreamModel(rgb, flow_net, num_classes, dtype=dtype)
     else:
-        base = FrameModel(get_backbone(FLAGS.backbone, dtype=dtype), dtype=dtype)
+        base = FrameModel(get_backbone(FLAGS.backbone, dtype=dtype, remat=remat),
+                          dtype=dtype)
 
     if FLAGS.window > 1 and temp_pool in ("gru", "lstm"):
         return CNNRNN(model=base, num_classes=num_classes, hidden_size=128,
@@ -106,8 +113,8 @@ def build_model(num_classes: int, feats: bool):
                                feats=feats, dtype=dtype)
     if feats:
         raise ValueError("--feats_model requires --temp_pool (gru/lstm/max/mean)")
-    return FrameModel(get_backbone(FLAGS.backbone, dtype=dtype), num_classes,
-                      dtype=dtype)
+    return FrameModel(get_backbone(FLAGS.backbone, dtype=dtype, remat=remat),
+                      num_classes, dtype=dtype)
 
 
 def _sample_shape(num_classes: int, feats: bool, feat_dim: int):

@@ -65,6 +65,9 @@ flags.DEFINE_integer("num_workers", 8, "loader threads", flag_values=FLAGS)
 flags.DEFINE_integer("seed", 100, "rng seed (reference seeds 100/10000)",
                      flag_values=FLAGS)
 flags.DEFINE_integer("max_batches", -1, "debug batch limit", flag_values=FLAGS)
+flags.DEFINE_enum("remat", "none", ["none", "block"],
+                  "dense-block rematerialization for the pixels-path CNN "
+                  "src_embed (DenseNet backbones)", flag_values=FLAGS)
 
 
 def build_model(vocab_size: int):
@@ -83,7 +86,10 @@ def build_model(vocab_size: int):
 
         # pixels path: TimeDistributed CNN backbone as src_embed
         # (reference train_gnmt.py:145-170)
-        src_embed = get_backbone(FLAGS.backbone, dtype=jnp.float32)
+        src_embed = get_backbone(
+            FLAGS.backbone, dtype=jnp.float32,
+            remat=None if FLAGS.remat == "none" else FLAGS.remat,
+        )
     return NMTModel(vocab_size=vocab_size, encoder=encoder, decoder=decoder,
                     embed_size=FLAGS.emb_size, src_embed=src_embed)
 

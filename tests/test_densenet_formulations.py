@@ -27,3 +27,39 @@ def test_concat_free_equals_naive():
     for pa, pb in zip(jax.tree_util.tree_leaves(ma["batch_stats"]),
                       jax.tree_util.tree_leaves(mb["batch_stats"])):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-4)
+
+
+def test_remat_matches_baseline_gradients():
+    """remat='block' changes only what is stored for backward — loss,
+    gradients, and updated BN stats must match the non-remat graph."""
+    from tennis_tpu.models.backbones.densenet import DenseNetSpec
+
+    spec = DenseNetSpec((2, 3), growth_rate=8, num_init_features=16, bn_size=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    base = DenseNet(spec, dtype=jnp.float32)
+    variables = jax.jit(base.init)(jax.random.PRNGKey(1), x)
+
+    def grads_of(model):
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out ** 2), mut["batch_stats"]
+
+        (loss, bs), grads = jax.jit(
+            jax.value_and_grad(loss_fn, has_aux=True)
+        )(variables["params"])
+        return (np.asarray(loss), jax.tree_util.tree_leaves(grads),
+                jax.tree_util.tree_leaves(bs))
+
+    loss0, grads0, bs0 = grads_of(base)
+    for mode in ("block",):
+        loss, grads, bs = grads_of(DenseNet(spec, dtype=jnp.float32, remat=mode))
+        np.testing.assert_allclose(loss, loss0, rtol=1e-6)
+        for g, g0 in zip(grads, grads0):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(g0),
+                                       rtol=1e-5, atol=1e-6)
+        for b, b0 in zip(bs, bs0):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(b0),
+                                       rtol=1e-6, atol=1e-7)
