@@ -255,21 +255,23 @@ def train(argv=None):
     logging.info("beam_size=%d alpha=%.2f K=%d", FLAGS.beam_size, FLAGS.lp_alpha,
                  FLAGS.lp_k)
 
+    from tennis_tpu.data.loader import prefetch_to_device
+
     def evaluate(split, tgt_sentences):
         losses, hyps, order = [], [], []
-        for batch in loaders[split]:
+        # transfers overlap the beam decodes of the previous batch
+        for batch in prefetch_to_device(iter(loaders[split])):
             src, tgt, src_vl, tgt_vl, idxs = batch
             # keep the loss on device; one batched fetch after the loop
             losses.append(eval_loss_step(
-                params, batch_stats, jnp.asarray(src), jnp.asarray(tgt),
-                jnp.asarray(src_vl), jnp.asarray(tgt_vl)
+                params, batch_stats, src, tgt, src_vl, tgt_vl
             ))
             toks = translator.translate_tokens(
                 {"params": params, "batch_stats": batch_stats}, src, src_vl,
                 vocab,
             )
             hyps.extend(toks)
-            order.extend(int(i) for i in idxs)
+            order.extend(np.asarray(jax.device_get(idxs)).tolist())
         losses = [float(l) for l in jax.device_get(losses)]
         # restore dataset order (buckets permute samples)
         hyps_ordered = [None] * len(hyps)
@@ -284,15 +286,23 @@ def train(argv=None):
         loaders["train"].set_epoch(epoch)
         tic = time.time()
         n_tokens, n_batches = 0, 0
-        for batch in loaders["train"]:
+        # host batches transfer on a background thread while the previous step
+        # computes (the raw step runs at ~413K words/sec at B=128 T=120 — the
+        # loop must not stall it on PCIe). Token counts are taken on host
+        # BEFORE transfer: summing a device array here would be an eager per-op
+        # round trip (see CLAUDE.md on the tunneled TPU).
+        def counted_batches():
+            for batch in iter(loaders["train"]):
+                yield batch, int(np.asarray(batch[3]).sum())
+
+        for batch, batch_tokens in prefetch_to_device(counted_batches()):
             src, tgt, src_vl, tgt_vl = batch[:4]
             params, batch_stats, opt_state, loss = train_step(
-                params, batch_stats, opt_state, jnp.asarray(src),
-                jnp.asarray(tgt), jnp.asarray(src_vl), jnp.asarray(tgt_vl),
+                params, batch_stats, opt_state, src, tgt, src_vl, tgt_vl,
                 np.uint32(seed_rng.integers(2**31)),
             )
             n_batches += 1
-            n_tokens += int(tgt_vl.sum())
+            n_tokens += batch_tokens
             if n_batches % FLAGS.log_interval == 0 or n_batches == 1:
                 loss_v = float(loss)
                 wps = n_tokens / max(time.time() - tic, 1e-6)
