@@ -70,6 +70,12 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
+        if self.num_shards > 1:
+            # equal-length stripes: pad the permutation to a multiple of
+            # num_shards by wrapping, so every host sees the same batch count
+            # (hosts run collectives in lockstep; unequal counts deadlock)
+            per = -(-n // self.num_shards)
+            idx = np.resize(idx, per * self.num_shards)
         return idx[self.shard_id :: self.num_shards]
 
     def __len__(self):

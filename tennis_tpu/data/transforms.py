@@ -18,6 +18,7 @@ This is the "fused decode→resize→normalize input stage" of the north-star pl
 from __future__ import annotations
 
 import math
+import threading
 
 import numpy as np
 
@@ -41,6 +42,33 @@ _EIGVEC = np.array(
     ],
     dtype=np.float32,
 )
+
+
+class ThreadLocalRng:
+    """Per-thread numpy Generators for DataLoader transform closures.
+
+    numpy Generators are not thread-safe, and the loader applies transforms
+    from a ThreadPoolExecutor — one shared Generator can tear its state and
+    correlate the augmentation draws. Each thread gets its own child generator
+    spawned from one SeedSequence. Draws remain uncorrupted at any worker
+    count; exact per-sample reproducibility additionally needs
+    ``num_workers=1`` (the reference's gluon augmentation is entirely
+    unseeded, so this is still strictly more deterministic).
+    """
+
+    def __init__(self, seed: int):
+        self._seq = np.random.SeedSequence(seed)
+        self._lock = threading.Lock()
+        self._local = threading.local()
+
+    def get(self) -> np.random.Generator:
+        rng = getattr(self._local, "rng", None)
+        if rng is None:
+            with self._lock:
+                child = self._seq.spawn(1)[0]
+            rng = np.random.default_rng(child)
+            self._local.rng = rng
+        return rng
 
 
 # --------------------------------------------------------------------- host stage

@@ -69,9 +69,13 @@ def fold_bn(scale, bias, mean, var, eps: float = 1e-5):
 
 
 def _pick_tile(side: int, c_pad: int) -> int:
-    """Largest tile dividing ``side`` whose double-buffered input fits ~5 MB."""
+    """Largest tile dividing ``side`` whose double-buffered input fits ~5 MB.
+
+    The input scratch is (2, tile+2, tile+16, c_pad) in the compute dtype —
+    the +16 is the 8-col left/right alignment padding of the read window.
+    """
     for tile in (64, 32, 16, 8):
-        if side % tile == 0 and 2 * (tile + 2) * (tile + 2) * c_pad * 2 <= 5 * 2**20:
+        if side % tile == 0 and 2 * (tile + 2) * (tile + 16) * c_pad * 2 <= 5 * 2**20:
             return min(tile, side)
     return side if side <= 64 else -1
 

@@ -24,18 +24,35 @@ Example 2-host run (4 chips each):
 On real TPU pods the three coordinator flags can be omitted — jax discovers the
 topology from the runtime environment.
 
-Known multi-host limitation (documented, reference has no multi-host at all):
-epoch-boundary eval fetches logits to the host, which under multi-host returns
-only the process-addressable shards — per-host stripe metrics. Aggregate across
-hosts with ``jax.experimental.multihost_utils.process_allgather`` on the
-confusion matrices if pod-global eval numbers are needed during training; the
-canonical full-set numbers come from the single-host evaluate.py pass.
+Host fetches of globally-sharded arrays (metrics, eval logits) go through
+:func:`fetch_global`: ``device_get`` on a non-fully-addressable array raises,
+so multi-host runs all-gather through
+``jax.experimental.multihost_utils.process_allgather`` in lockstep (the
+loaders' equal-length shard stripes guarantee every host reaches the same
+collectives). The canonical full-set eval numbers still come from the
+single-host evaluate.py pass.
 """
 from __future__ import annotations
 
 import numpy as np
 
 from tennis_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
+
+
+def fetch_global(x):
+    """Host numpy copy of a possibly multi-host-sharded array.
+
+    Fully-addressable arrays (single host) use a plain ``device_get``;
+    otherwise the global value is assembled with ``process_allgather`` —
+    a collective, so EVERY process must call this at the same point.
+    """
+    import jax
+
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(jax.device_get(x))
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
 def initialize_multihost(coordinator_address: str | None = None,

@@ -157,13 +157,13 @@ def _geometry_transform(train: bool):
     """Host-side geometry for raw-frame datasets; features pass through."""
     from tennis_tpu.data import transforms as T
 
-    rng = np.random.default_rng(FLAGS.seed + (1 if train else 2))
+    rng = T.ThreadLocalRng(FLAGS.seed + (1 if train else 2))
 
     def apply(sample):
         img, label, idx = sample
         if img.ndim == 2 or (img.ndim == 3 and img.shape[-1] in (3, 6)):
             if train and FLAGS.window == 1 and not FLAGS.flow:
-                img = T.train_geometry(img, FLAGS.data_shape, rng)
+                img = T.train_geometry(img, FLAGS.data_shape, rng.get())
             else:
                 img = T.test_geometry(img, FLAGS.data_shape)
         elif img.ndim == 4:  # (T, H, W, C) window clip
@@ -180,6 +180,7 @@ def train_and_evaluate():
 
     from tennis_tpu.data.loader import DataLoader, prefetch_to_device
     from tennis_tpu.data.transforms import device_augment, device_prepare
+    from tennis_tpu.parallel.distributed import fetch_global
     from tennis_tpu.models import backbone_feature_dim
     from tennis_tpu.parallel import (
         batch_sharding, create_train_state, make_eval_step, make_mesh,
@@ -321,8 +322,10 @@ def train_and_evaluate():
 
         for (images, labels, _), n in prefetch_to_device(padded(), bsharding):
             logits = eval_step(state.params, state.batch_stats, images)
-            logits = np.asarray(jax.device_get(logits))[:n]
-            labels = np.asarray(jax.device_get(labels))[:n]
+            # fetch_global: device_get refuses non-fully-addressable (multi-
+            # host) arrays; all hosts reach this in lockstep (equal stripes)
+            logits = fetch_global(logits)[:n]
+            labels = fetch_global(labels)[:n]
             for m in metrics.values():
                 m.update(labels, logits)
         return metrics
@@ -347,7 +350,8 @@ def train_and_evaluate():
             n_samples += labels.shape[0]
             if n_batches % FLAGS.log_interval == 0 or n_batches == 1:
                 loss_v = float(loss)
-                train_metrics["prf1"].update(labels, logits)
+                train_metrics["prf1"].update(fetch_global(labels),
+                                             fetch_global(logits))
                 rate = n_samples / max(time.time() - tic, 1e-6)
                 logging.info(
                     "[Epoch %d][Batch %d] loss=%.4f %.1f samples/sec",

@@ -105,8 +105,9 @@ def make_datasets():
         # Resize(+32)+CenterCrop (transform_test, train_gnmt.py:182-187)
         from tennis_tpu.data import transforms as T
 
-        rng = np.random.default_rng(FLAGS.seed)
-        train_transform = lambda img: T.train_geometry(img, FLAGS.data_shape, rng)
+        rng = T.ThreadLocalRng(FLAGS.seed)  # loader workers are threads
+        train_transform = lambda img: T.train_geometry(img, FLAGS.data_shape,
+                                                       rng.get())
         test_transform = lambda img: T.test_geometry(img, FLAGS.data_shape)
 
     common = dict(root=FLAGS.root, captions=True, every=FLAGS.every,
@@ -202,21 +203,22 @@ def train(argv=None):
     lr = FLAGS.lr
 
     def _make_opt(learning_rate):
-        base = optax.chain(
-            optax.clip_by_global_norm(FLAGS.clip),
-            optax.adam(learning_rate) if FLAGS.optimizer == "adam"
-            else optax.sgd(learning_rate),
-        )
+        stages = []
         if FLAGS.freeze_backbone and FLAGS.feats_model is None:
-            # zero updates for the CNN src_embed (reference train_gnmt.py:164-166
-            # sets grad_req='null' on every cnn_model param)
+            # zero the CNN src_embed grads BEFORE the global-norm clip: the
+            # reference's grad_req='null' (train_gnmt.py:164-166) excludes the
+            # backbone from the norm entirely — masking after clip+opt was
+            # measured to shrink trainable updates 63x when backbone grads
+            # dominate the norm
             def frozen_mask(p):
                 return {k: jax.tree_util.tree_map(lambda _: k == "src_embed", v)
                         for k, v in p.items()}
 
-            base = optax.chain(base, optax.masked(optax.set_to_zero(),
-                                                  frozen_mask))
-        return base
+            stages.append(optax.masked(optax.set_to_zero(), frozen_mask))
+        stages.append(optax.clip_by_global_norm(FLAGS.clip))
+        stages.append(optax.adam(learning_rate) if FLAGS.optimizer == "adam"
+                      else optax.sgd(learning_rate))
+        return optax.chain(*stages)
 
     opt = optax.inject_hyperparams(_make_opt)(lr)
     opt_state = opt.init(params)

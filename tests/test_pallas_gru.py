@@ -46,32 +46,41 @@ def test_pallas_gru_t1():
     np.testing.assert_allclose(np.asarray(ys[0]), np.asarray(h_ref), atol=1e-5)
 
 
-def test_rnnlayer_pallas_path_matches_scan():
+def test_rnnlayer_pallas_path_matches_scan(monkeypatch):
     """RNNLayer with the pallas_gru context must reproduce the scan path exactly
-    (masking included) while sharing one parameter tree."""
+    (masking included) while sharing one parameter tree.
+
+    RNNLayer only takes the Pallas path on a TPU backend, so the backend check
+    is faked and the kernel is forced through the interpreter; a spy asserts
+    the Pallas recurrence actually ran (without it the test would silently
+    compare the scan path to itself on CPU)."""
     import jax.numpy as jnp
 
     from tennis_tpu.ops.pallas import gru as pg
     from tennis_tpu.ops.rnn import RNNLayer, pallas_gru
 
-    # CPU: route the kernel through the interpreter
-    orig = pg.pl.pallas_call
-    def interp_call(*a, **k):
-        k["interpret"] = True
-        return orig(*a, **k)
-    pg.pl.pallas_call = interp_call
-    try:
-        layer = RNNLayer("gru", 8, dtype=jnp.float32)
-        rng = jax.random.PRNGKey(0)
-        x = jax.random.normal(rng, (3, 6, 5))
-        vl = jnp.asarray([6, 4, 2])
-        params = layer.init(rng, x, vl)
-        f_scan, y_scan = layer.apply(params, x, vl)
-        with pallas_gru():
-            f_pl, y_pl = layer.apply(params, x, vl)
-        np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_scan),
-                                   atol=1e-5)
-        np.testing.assert_allclose(np.asarray(f_pl), np.asarray(f_scan),
-                                   atol=1e-5)
-    finally:
-        pg.pl.pallas_call = orig
+    called = []
+    orig_rec = pg.gru_recurrence_pallas
+
+    def spy(*args, **kwargs):
+        called.append(1)
+        kwargs["interpret"] = True  # CPU: route the kernel through the interpreter
+        return orig_rec(*args, **kwargs)
+
+    monkeypatch.setattr(pg, "gru_recurrence_pallas", spy)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    layer = RNNLayer("gru", 8, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (3, 6, 5))
+    vl = jnp.asarray([6, 4, 2])
+    params = layer.init(rng, x, vl)
+    f_scan, y_scan = layer.apply(params, x, vl)
+    assert not called  # scan path outside the context
+    with pallas_gru():
+        f_pl, y_pl = layer.apply(params, x, vl)
+    assert called, "pallas recurrence did not run"
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_scan),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_pl), np.asarray(f_scan),
+                               atol=1e-5)

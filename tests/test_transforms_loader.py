@@ -118,6 +118,22 @@ def test_loader_sharding_disjoint_and_complete():
     assert len(set(seen[0]) & set(seen[1])) == 0
 
 
+def test_loader_shards_equal_batch_counts():
+    """Uneven dataset sizes must still give every shard the SAME batch count
+    (multi-host collectives run in lockstep; unequal counts deadlock). The pad
+    wraps the permutation, so some samples repeat — coverage stays complete."""
+    ds = _RangeDataset(31)
+    loaders = [DataLoader(ds, batch_size=8, shuffle=True, seed=5, num_shards=2,
+                          shard_id=s) for s in range(2)]
+    counts = [sum(1 for _ in dl) for dl in loaders]
+    assert counts[0] == counts[1] == len(loaders[0]) == len(loaders[1])
+    seen = set()
+    for dl in loaders:
+        for b in dl:
+            seen.update(b[2].tolist())
+    assert seen == set(range(31))
+
+
 def test_loader_drop_last():
     ds = _RangeDataset(10)
     dl = DataLoader(ds, batch_size=4, drop_last=True)
