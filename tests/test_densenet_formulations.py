@@ -54,7 +54,7 @@ def test_remat_matches_baseline_gradients():
                 jax.tree_util.tree_leaves(bs))
 
     loss0, grads0, bs0 = grads_of(base)
-    for mode in ("block",):
+    for mode in ("block", "hires"):
         loss, grads, bs = grads_of(DenseNet(spec, dtype=jnp.float32, remat=mode))
         np.testing.assert_allclose(loss, loss0, rtol=1e-6)
         for g, g0 in zip(grads, grads0):
