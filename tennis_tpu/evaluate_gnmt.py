@@ -76,14 +76,17 @@ def evaluate(argv=None):
             beam_size=FLAGS.beam_size, alpha=FLAGS.lp_alpha, K=FLAGS.lp_k,
             max_length=FLAGS.tgt_max_len + 20,
         )
+        from tennis_tpu.data.loader import prefetch_to_device
+
         hyps, order = [], []
-        for batch in loader:
+        # transfers overlap the previous batch's beam decode
+        for batch in prefetch_to_device(iter(loader)):
             src, tgt, src_vl, tgt_vl, idxs = batch
             hyps.extend(translator.translate_tokens(
                 {"params": params, "batch_stats": batch_stats}, src, src_vl,
                 vocab,
             ))
-            order.extend(int(i) for i in idxs)
+            order.extend(np.asarray(jax.device_get(idxs)).tolist())
         ordered = [None] * len(hyps)
         for pos, ds_idx in enumerate(order):
             ordered[ds_idx] = hyps[pos]

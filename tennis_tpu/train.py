@@ -434,23 +434,50 @@ def save_features(model, state, datasets, loaders, mesh):
         variables = {"params": params, "batch_stats": batch_stats}
         return model.apply(variables, images, train=False, method=model.features)
 
+    from concurrent.futures import ThreadPoolExecutor
+
     from tennis_tpu.parallel.mesh import pad_batch
+
+    def write_one(ds, feat, idx):
+        path = ds.save_feature_path(int(idx))
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        np.save(path, feat)
 
     for split, ds in zip(("train", "val", "test"), datasets):
         loader = loaders[split]
         count = 0
-        for batch in iter(loader):
-            (images, labels, idxs), n = pad_batch(batch, loader.batch_size)
-            images = jax.device_put(images, batch_sharding(mesh))
-            feats = np.asarray(jax.device_get(
-                feat_step(state.params, state.batch_stats, images)
-            ), dtype=np.float32)[:n]
-            idxs = np.asarray(idxs)[:n]
-            for feat, idx in zip(feats, np.asarray(idxs)):
-                path = ds.save_feature_path(int(idx))
-                os.makedirs(os.path.dirname(path), exist_ok=True)
-                np.save(path, feat)
-                count += 1
+
+        def padded():
+            for batch in iter(loader):
+                yield pad_batch(batch, loader.batch_size)
+
+        # three-way overlap: batch t+1 transfers (prefetch thread) while batch
+        # t computes and batch t-1's features fetch + write (.npy writes on a
+        # small IO pool). The fetch of t-1 is deferred until t has dispatched,
+        # so the device never idles on PCIe or disk.
+        pending = None
+        futures = []
+        with ThreadPoolExecutor(4) as writer:
+
+            def flush(item):
+                nonlocal count
+                feats_dev, idxs, n = item
+                feats = np.asarray(jax.device_get(feats_dev),
+                                   dtype=np.float32)[:n]
+                for feat, idx in zip(feats, idxs[:n]):
+                    futures.append(writer.submit(write_one, ds, feat, idx))
+                count += int(n)
+
+            for (images, labels, idxs), n in prefetch_to_device(
+                    padded(), batch_sharding(mesh)):
+                feats_dev = feat_step(state.params, state.batch_stats, images)
+                if pending is not None:
+                    flush(pending)
+                pending = (feats_dev, np.asarray(jax.device_get(idxs)), n)
+            if pending is not None:
+                flush(pending)
+            for f in futures:
+                f.result()  # surface any write error
         logging.info("saved %d feature files for split %s", count, split)
 
 
