@@ -467,6 +467,10 @@ def save_features(model, state, datasets, loaders, mesh):
                 for feat, idx in zip(feats, idxs[:n]):
                     futures.append(writer.submit(write_one, ds, feat, idx))
                 count += int(n)
+                # drain finished writes (surfacing errors) so the futures list
+                # stays small over a multi-100K-frame dump
+                while futures and futures[0].done():
+                    futures.pop(0).result()
 
             for (images, labels, idxs), n in prefetch_to_device(
                     padded(), batch_sharding(mesh)):
