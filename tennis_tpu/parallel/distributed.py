@@ -97,11 +97,23 @@ def make_pod_mesh(num_model: int = 1):
         )
     from jax.experimental import mesh_utils
 
-    devices = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(local // num_model, num_model),
-        dcn_mesh_shape=(jax.process_count(), 1),
-    )
-    return Mesh(devices.reshape(-1, num_model), (DATA_AXIS, MODEL_AXIS))
+    try:
+        devices = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(local // num_model, num_model),
+            dcn_mesh_shape=(jax.process_count(), 1),
+        )
+    except ValueError:
+        # Backends without per-slice topology (multi-process CPU simulation; a
+        # multi-process single-slice pod): group devices by owning process —
+        # the same process-major, model-axis-innermost layout the hybrid mesh
+        # produces, just without slice metadata.
+        ordered = sorted(jax.devices(),
+                         key=lambda d: (d.process_index, d.id))
+        devices = np.array(ordered).reshape(
+            jax.process_count() * (local // num_model), num_model
+        )
+    return Mesh(np.asarray(devices).reshape(-1, num_model),
+                (DATA_AXIS, MODEL_AXIS))
 
 
 def host_batch_slice(global_batch: int) -> int:
