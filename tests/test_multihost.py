@@ -77,8 +77,42 @@ for x, y, idx in prefetch_to_device(iter(loader), sharding):
     sums.append(float(g.sum()))
     n_batches += 1
 
+# the production training harness over the pod mesh: tiny DenseNet FrameModel,
+# donated sharded step, per-host batch stripes; losses must agree globally
+import jax.numpy as jnp
+
+from tennis_tpu.models import FrameModel
+from tennis_tpu.models.backbones.densenet import DenseNet, DenseNetSpec
+from tennis_tpu.parallel import create_train_state, make_train_step, sgd_with_schedule
+from tennis_tpu.parallel.sharding_rules import state_shardings
+
+spec = DenseNetSpec((2, 2), growth_rate=8, num_init_features=16, bn_size=2)
+model = FrameModel(DenseNet(spec, dtype=jnp.float32), num_classes=3,
+                   dtype=jnp.float32)
+tx, _ = sgd_with_schedule(0.01)
+state = create_train_state(model, jax.random.PRNGKey(0),
+                           jnp.zeros((1, 16, 16, 3), jnp.float32), tx,
+                           {"train": True}, mesh=mesh)
+step = make_train_step(model, mesh=mesh,
+                       state_sharding=state_shardings(mesh, state))
+
+rng = np.random.default_rng(0)  # same seed on both hosts; loader-style stripes
+losses = []
+for i in range(2):
+    imgs_global = rng.standard_normal((GLOBAL_BATCH, 16, 16, 3)).astype(np.float32)
+    labels_global = rng.integers(0, 3, (GLOBAL_BATCH,)).astype(np.int32)
+    half = GLOBAL_BATCH // 2
+    lo, hi = pid * half, (pid + 1) * half  # this host's stripe
+    imgs = jax.make_array_from_process_local_data(sharding, imgs_global[lo:hi])
+    labels = jax.make_array_from_process_local_data(sharding, labels_global[lo:hi])
+    state, loss, _logits = step(state, imgs, labels)
+    losses.append(float(fetch_global(loss).ravel()[0]))
+assert all(np.isfinite(l) for l in losses), losses
+assert int(fetch_global(state.step)) == 2
+
 # both hosts must have seen identical batch counts and identical global values
-print("RESULT", n_batches, " ".join(f"{s:.3f}" for s in sums))
+print("RESULT", n_batches, " ".join(f"{s:.3f}" for s in sums),
+      " ".join(f"{l:.5f}" for l in losses))
 """
 
 
