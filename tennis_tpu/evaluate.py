@@ -133,9 +133,10 @@ def evaluate_model():
     for (images, labels, idxs), n in prefetch_to_device(padded(),
                                                         batch_sharding(mesh)):
         probs = eval_step(state.params, state.batch_stats, images)
-        probs_np = np.asarray(jax.device_get(probs))[:n]
-        labels = np.asarray(jax.device_get(labels))[:n]
-        idxs = np.asarray(jax.device_get(idxs))[:n]
+        # one host fetch per batch (each device_get is a tunnel round trip)
+        probs_np, labels, idxs = (
+            np.asarray(a)[:n] for a in jax.device_get((probs, labels, idxs))
+        )
         for m in metrics.values():
             m.update(labels, probs_np)
         for p, label, idx in zip(probs_np, labels, idxs):

@@ -39,20 +39,24 @@ import numpy as np
 from tennis_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
 
 
-def fetch_global(x):
-    """Host numpy copy of a possibly multi-host-sharded array.
+def fetch_global(tree):
+    """Host numpy copy of a pytree of possibly multi-host-sharded arrays.
 
     Fully-addressable arrays (single host) use a plain ``device_get``;
-    otherwise the global value is assembled with ``process_allgather`` —
-    a collective, so EVERY process must call this at the same point.
+    otherwise the global values are assembled with ``process_allgather`` — a
+    collective, so EVERY process must call this at the same point. Pass
+    everything a loop iteration needs as ONE tree: over the tunneled TPU each
+    fetch is a network round trip.
     """
     import jax
 
-    if getattr(x, "is_fully_addressable", True):
-        return np.asarray(jax.device_get(x))
+    as_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
+    leaves = jax.tree_util.tree_leaves(tree)
+    if all(getattr(l, "is_fully_addressable", True) for l in leaves):
+        return as_np(jax.device_get(tree))
     from jax.experimental import multihost_utils
 
-    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return as_np(multihost_utils.process_allgather(tree, tiled=True))
 
 
 def initialize_multihost(coordinator_address: str | None = None,

@@ -180,7 +180,9 @@ def train_and_evaluate():
 
     from tennis_tpu.data.loader import DataLoader, prefetch_to_device
     from tennis_tpu.data.transforms import device_augment, device_prepare
-    from tennis_tpu.parallel.distributed import fetch_global
+    from tennis_tpu.parallel.distributed import (
+        fetch_global, host_batch_slice, initialize_multihost, make_pod_mesh,
+    )
     from tennis_tpu.models import backbone_feature_dim
     from tennis_tpu.parallel import (
         batch_sharding, create_train_state, make_eval_step, make_mesh,
@@ -193,8 +195,6 @@ def train_and_evaluate():
     )
 
     if FLAGS.multihost:
-        from tennis_tpu.parallel.distributed import initialize_multihost
-
         initialize_multihost(FLAGS.coordinator, FLAGS.num_hosts, FLAGS.host_id)
 
     exp_dir = experiment_dir("vision", FLAGS.model_id)
@@ -216,8 +216,6 @@ def train_and_evaluate():
     num_workers = FLAGS.num_workers if FLAGS.num_workers > 0 else (os.cpu_count() or 8)
     host_batch = FLAGS.batch_size
     if jax.process_count() > 1:
-        from tennis_tpu.parallel.distributed import host_batch_slice
-
         host_batch = host_batch_slice(FLAGS.batch_size)
     loaders = {}
     for name, ds, train_flag in (
@@ -231,8 +229,6 @@ def train_and_evaluate():
         )
 
     if FLAGS.multihost:
-        from tennis_tpu.parallel.distributed import make_pod_mesh
-
         mesh = make_pod_mesh()
         num_data = mesh.shape["data"]
     else:
@@ -322,10 +318,10 @@ def train_and_evaluate():
 
         for (images, labels, _), n in prefetch_to_device(padded(), bsharding):
             logits = eval_step(state.params, state.batch_stats, images)
-            # fetch_global: device_get refuses non-fully-addressable (multi-
-            # host) arrays; all hosts reach this in lockstep (equal stripes)
-            logits = fetch_global(logits)[:n]
-            labels = fetch_global(labels)[:n]
+            # one fetch for both arrays (device_get refuses non-fully-
+            # addressable multi-host arrays; all hosts reach this in lockstep)
+            logits, labels = fetch_global((logits, labels))
+            logits, labels = logits[:n], labels[:n]
             for m in metrics.values():
                 m.update(labels, logits)
         return metrics
@@ -350,8 +346,7 @@ def train_and_evaluate():
             n_samples += labels.shape[0]
             if n_batches % FLAGS.log_interval == 0 or n_batches == 1:
                 loss_v = float(loss)
-                train_metrics["prf1"].update(fetch_global(labels),
-                                             fetch_global(logits))
+                train_metrics["prf1"].update(*fetch_global((labels, logits)))
                 rate = n_samples / max(time.time() - tic, 1e-6)
                 logging.info(
                     "[Epoch %d][Batch %d] loss=%.4f %.1f samples/sec",
