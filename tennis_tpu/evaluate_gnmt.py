@@ -78,15 +78,20 @@ def evaluate(argv=None):
         )
         from tennis_tpu.data.loader import prefetch_to_device
 
+        def batches():
+            # only (src, src_vl) go to device; indices stay host-side (list
+            # leaves pass through prefetch untouched — no round trip back)
+            for src, _tgt, src_vl, _tgt_vl, idxs in iter(loader):
+                yield (src, src_vl), idxs.tolist()
+
         hyps, order = [], []
         # transfers overlap the previous batch's beam decode
-        for batch in prefetch_to_device(iter(loader)):
-            src, tgt, src_vl, tgt_vl, idxs = batch
+        for (src, src_vl), idxs in prefetch_to_device(batches()):
             hyps.extend(translator.translate_tokens(
                 {"params": params, "batch_stats": batch_stats}, src, src_vl,
                 vocab,
             ))
-            order.extend(np.asarray(jax.device_get(idxs)).tolist())
+            order.extend(idxs)
         ordered = [None] * len(hyps)
         for pos, ds_idx in enumerate(order):
             ordered[ds_idx] = hyps[pos]

@@ -59,6 +59,27 @@ def fetch_global(tree):
     return as_np(multihost_utils.process_allgather(tree, tiled=True))
 
 
+def fetch_local(tree):
+    """This process's rows of batch-sharded arrays (host-local stripe, global
+    row order preserved within the stripe). Fully-addressable trees are a
+    single ``device_get``; otherwise each leaf concatenates its addressable
+    shards. Unlike :func:`fetch_global` this is NOT a collective — use it when
+    every host handles only its own slice (e.g. feature dumps).
+    """
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(tree)
+    if all(getattr(l, "is_fully_addressable", True) for l in leaves):
+        return jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
+
+    def local_rows(x):
+        shards = sorted(x.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards])
+
+    return jax.tree_util.tree_map(local_rows, tree)
+
+
 def initialize_multihost(coordinator_address: str | None = None,
                          num_processes: int | None = None,
                          process_id: int | None = None) -> None:

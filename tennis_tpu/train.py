@@ -181,7 +181,8 @@ def train_and_evaluate():
     from tennis_tpu.data.loader import DataLoader, prefetch_to_device
     from tennis_tpu.data.transforms import device_augment, device_prepare
     from tennis_tpu.parallel.distributed import (
-        fetch_global, host_batch_slice, initialize_multihost, make_pod_mesh,
+        fetch_global, fetch_local, host_batch_slice, initialize_multihost,
+        make_pod_mesh,
     )
     from tennis_tpu.models import backbone_feature_dim
     from tennis_tpu.parallel import (
@@ -319,9 +320,15 @@ def train_and_evaluate():
         for (images, labels, _), n in prefetch_to_device(padded(), bsharding):
             logits = eval_step(state.params, state.batch_stats, images)
             # one fetch for both arrays (device_get refuses non-fully-
-            # addressable multi-host arrays; all hosts reach this in lockstep)
+            # addressable multi-host arrays; all hosts reach this in lockstep).
+            # The gathered arrays are GLOBAL: rows are process-major stripes of
+            # host_batch each, with the first n of every stripe valid (equal
+            # stripe lengths keep n identical across hosts).
             logits, labels = fetch_global((logits, labels))
-            logits, labels = logits[:n], labels[:n]
+            procs = logits.shape[0] // host_batch
+            keep = np.concatenate([np.arange(p * host_batch, p * host_batch + n)
+                                   for p in range(procs)])
+            logits, labels = logits[keep], labels[keep]
             for m in metrics.values():
                 m.update(labels, logits)
         return metrics
@@ -421,6 +428,7 @@ def save_features(model, state, datasets, loaders, mesh):
     from tennis_tpu.data.loader import prefetch_to_device
     from tennis_tpu.data.transforms import device_prepare
     from tennis_tpu.parallel import batch_sharding
+    from tennis_tpu.parallel.distributed import fetch_local
 
     @jax.jit
     def feat_step(params, batch_stats, images):
@@ -456,9 +464,11 @@ def save_features(model, state, datasets, loaders, mesh):
 
             def flush(item):
                 nonlocal count
-                feats_dev, idxs, n = item
-                feats = np.asarray(jax.device_get(feats_dev),
-                                   dtype=np.float32)[:n]
+                feats_dev, idxs_dev, n = item
+                # ONE transfer for features + indices; under --multihost each
+                # host fetches and writes only its own stripe (fetch_local)
+                feats, idxs = fetch_local((feats_dev, idxs_dev))
+                feats = feats.astype(np.float32)[:n]
                 for feat, idx in zip(feats, idxs[:n]):
                     futures.append(writer.submit(write_one, ds, feat, idx))
                 count += int(n)
@@ -472,7 +482,7 @@ def save_features(model, state, datasets, loaders, mesh):
                 feats_dev = feat_step(state.params, state.batch_stats, images)
                 if pending is not None:
                     flush(pending)
-                pending = (feats_dev, np.asarray(jax.device_get(idxs)), n)
+                pending = (feats_dev, idxs, n)
             if pending is not None:
                 flush(pending)
             for f in futures:

@@ -260,10 +260,14 @@ def train(argv=None):
     from tennis_tpu.data.loader import prefetch_to_device
 
     def evaluate(split, tgt_sentences):
+        def batches():
+            # indices stay host-side (list leaves pass through prefetch)
+            for src, tgt, src_vl, tgt_vl, idxs in iter(loaders[split]):
+                yield (src, tgt, src_vl, tgt_vl), idxs.tolist()
+
         losses, hyps, order = [], [], []
         # transfers overlap the beam decodes of the previous batch
-        for batch in prefetch_to_device(iter(loaders[split])):
-            src, tgt, src_vl, tgt_vl, idxs = batch
+        for (src, tgt, src_vl, tgt_vl), idxs in prefetch_to_device(batches()):
             # keep the loss on device; one batched fetch after the loop
             losses.append(eval_loss_step(
                 params, batch_stats, src, tgt, src_vl, tgt_vl
@@ -273,7 +277,7 @@ def train(argv=None):
                 vocab,
             )
             hyps.extend(toks)
-            order.extend(np.asarray(jax.device_get(idxs)).tolist())
+            order.extend(idxs)
         losses = [float(l) for l in jax.device_get(losses)]
         # restore dataset order (buckets permute samples)
         hyps_ordered = [None] * len(hyps)
