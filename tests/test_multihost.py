@@ -74,6 +74,13 @@ for x, y, idx in prefetch_to_device(iter(loader), sharding):
     assert not out.is_fully_addressable  # genuinely multi-host sharded
     g = fetch_global(out)  # collective: both hosts in lockstep
     assert g.shape[0] == GLOBAL_BATCH
+    # the global rows are process-major stripes — the property run_eval's
+    # per-stripe valid-row slicing relies on
+    half = GLOBAL_BATCH // 2
+    from tennis_tpu.parallel.distributed import fetch_local
+    local = fetch_local(x)
+    np.testing.assert_allclose(g[pid * half:(pid + 1) * half], local * 2.0 + 1.0,
+                               rtol=1e-6)
     sums.append(float(g.sum()))
     n_batches += 1
 
