@@ -68,7 +68,7 @@ def fold_bn(scale, bias, mean, var, eps: float = 1e-5):
     return inv, shift
 
 
-def _pick_tile(side: int, c_pad: int) -> int:
+def _pick_tile(side: int, c_pad: int, interpret: bool = False) -> int:
     """Largest tile dividing ``side`` whose double-buffered input fits ~5 MB.
 
     The input scratch is (2, tile+2, tile+16, c_pad) in the compute dtype —
@@ -77,7 +77,16 @@ def _pick_tile(side: int, c_pad: int) -> int:
     for tile in (64, 32, 16, 8):
         if side % tile == 0 and 2 * (tile + 2) * (tile + 16) * c_pad * 2 <= 5 * 2**20:
             return min(tile, side)
-    return side if side <= 64 else -1
+    if interpret and side <= 64:
+        # Interpret mode does not enforce Mosaic's alignment rules, so small
+        # unaligned sides (tests run 32² inputs down to side 4) are fine.
+        return side
+    # No 8-aligned divisor fits: Mosaic's sublane rule (DMA extents/offsets
+    # provably 8-aligned) rules out non-multiple-of-8 tiles, so signal
+    # "unsupported spatial size" rather than emit a kernel that fails to
+    # compile on real TPU (e.g. side 28/14/7 for 224² inputs). Compiled-mode
+    # support is 8-aligned spatial sizes only (the production path is 512²).
+    return -1
 
 
 def _layer_kernel(TH, TW, nH, nW, C_pad, C_in, H, W, dtype,
@@ -211,8 +220,8 @@ def dense_layer_pallas(state, inv1, sh1, w1, inv2, sh2, w2, *, c_in: int,
     assert F == 128, "kernel assumes the DenseNet-121 bottleneck width"
     assert C_pad % 128 == 0 and C_pad <= C_max
     assert (c_in // 128 + 1) * 128 <= C_max  # the write group stays in bounds
-    TH = _pick_tile(H, C_pad)
-    TW = _pick_tile(W, C_pad)
+    TH = _pick_tile(H, C_pad, interpret)
+    TW = _pick_tile(W, C_pad, interpret)
     if TH <= 0 or TW <= 0:
         raise ValueError(f"unsupported spatial size ({H}, {W})")
     nH, nW = H // TH, W // TW

@@ -73,8 +73,22 @@ def fetch_local(tree):
         return jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
 
     def local_rows(x):
-        shards = sorted(x.addressable_shards,
-                        key=lambda s: s.index[0].start or 0)
+        # One shard per distinct index tuple: under model-axis replication
+        # (make_pod_mesh(num_model>1)) each batch-row range is materialized on
+        # every model-axis device, so keeping all addressable shards would
+        # duplicate rows. Non-batch axes must not be sharded here — a leaf
+        # split along the model axis has no host-local row interpretation.
+        uniq = {}
+        for s in x.addressable_shards:
+            key = tuple((sl.start, sl.stop) for sl in s.index)
+            uniq.setdefault(key, s)
+        shards = sorted(uniq.values(), key=lambda s: s.index[0].start or 0)
+        non_batch = {s.index[1:] for s in shards}
+        if len(non_batch) > 1:
+            raise ValueError(
+                "fetch_local needs batch-only sharding; leaf is split along a "
+                f"non-batch axis ({len(non_batch)} distinct column ranges)"
+            )
         return np.concatenate([np.asarray(s.data) for s in shards])
 
     return jax.tree_util.tree_map(local_rows, tree)
