@@ -21,6 +21,8 @@ __all__ = [
     "convert_caffe2_r21d",
     "convert_torch_flownets",
     "save_npz",
+    "rebase",
+    "unmatched_keys",
 ]
 
 
@@ -171,6 +173,59 @@ def convert_torch_flownets(state_dict, prefix: str = "") -> dict:
     return out
 
 
+def rebase(flat: dict, mounts, root: str = "backbone/") -> dict:
+    """Re-root a converted table at one or more param-tree mount points.
+
+    A table written with a ``backbone/`` prefix (the FrameModel layout) is
+    retargeted to e.g. the TwoStream streams (``model_rgb``/``model_flow``,
+    both pretrained per reference train.py:207-209), a wrapped FrameModel
+    (``model/backbone`` for CNNRNN/TemporalPooling over pixels) or the
+    captioner's CNN ``src_embed`` (reference train_gnmt.py:149-170). The
+    ``batch_stats::`` marker sits after the prefix, so keys are normalized
+    before re-prefixing. ``mounts`` entries are '/'-joined param paths; the
+    empty string mounts at the tree root.
+    """
+    out = {}
+    for key, value in flat.items():
+        stats = "batch_stats::" in key
+        body = key.replace("batch_stats::", "")
+        if body.startswith(root):
+            body = body[len(root):]
+        for mount in mounts:
+            new = f"{mount}/{body}" if mount else body
+            if stats:
+                new = "batch_stats::" + new
+            out[new] = value
+    return out
+
+
+def unmatched_keys(params, batch_stats, flat: dict):
+    """Table keys that would NOT be consumed by :func:`inject_npz` — the
+    converter CLI's acceptance check (unmatched keys mean a naming or
+    architecture mismatch, mirroring the reference converter's abort-on-diff at
+    models/vision/rdnet/utils.py:93-106)."""
+    def leaf_paths(tree, path="", acc=None):
+        acc = set() if acc is None else acc
+        for k, v in tree.items():
+            p = f"{path}{k}"
+            if isinstance(v, dict):
+                leaf_paths(v, p + "/", acc)
+            else:
+                acc.add(p)
+        return acc
+
+    paths = leaf_paths(params)
+    stats_paths = leaf_paths(batch_stats or {})
+    missing = []
+    for key in flat:
+        if "batch_stats::" in key:
+            if key.replace("batch_stats::", "") not in stats_paths:
+                missing.append(key)
+        elif key not in paths:
+            missing.append(key)
+    return sorted(missing)
+
+
 def inject_npz(params, batch_stats, flat: dict):
     """Inject a converted flat dict into (params, batch_stats) pytrees in place
     of matching paths. ``batch_stats::``-prefixed keys go to batch_stats.
@@ -196,3 +251,112 @@ def inject_npz(params, batch_stats, flat: dict):
     walk(params, "", param_table)
     walk(batch_stats, "", stats_table)
     return params, batch_stats, n
+
+
+# ------------------------------------------------------------------ CLI
+#
+# python -m tennis_tpu.models.convert --arch densenet121 <in.pth> <out.npz>
+# python -m tennis_tpu.models.convert --arch r21d --num_layers 34 <in.pkl> <out.npz>
+# python -m tennis_tpu.models.convert --arch flownets <in.pth.tar> <out.npz>
+#
+# Source checkpoints: torchvision densenet121 state_dict (torch.load-able),
+# the VMZ Caffe2 R(2+1)D pickle (reference models/vision/rdnet/utils.py:7-116
+# consumed the same file), and a FlowNet2-S torch checkpoint (reference
+# models/vision/flownet/README.md). The output .npz feeds ``--pretrained_npz``
+# in tennis_tpu/train.py and train_gnmt.py, and FlowRunner(params_path=*.npz).
+
+
+def _load_torch_state_dict(path: str) -> dict:
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("state_dict", "model"):
+        if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
+            obj = obj[key]
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in obj.items()}
+
+
+def _load_caffe2_blobs(path: str) -> dict:
+    import pickle
+
+    with open(path, "rb") as f:
+        obj = pickle.load(f, encoding="latin1")
+    if isinstance(obj, dict) and "blobs" in obj:
+        obj = obj["blobs"]
+    return obj
+
+
+def _verify(flat: dict, model, sample_shape) -> int:
+    """Shape-checked dry-run injection into a freshly-initialized model; aborts
+    on any unconsumed table key (naming/architecture mismatch)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_platforms", "cpu")
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros(sample_shape, jnp.float32)
+    )
+    params = jax.tree_util.tree_map(np.asarray, dict(variables["params"]))
+    stats = jax.tree_util.tree_map(
+        np.asarray, dict(variables.get("batch_stats", {}))
+    )
+    missing = unmatched_keys(params, stats, flat)
+    if missing:
+        raise SystemExit(
+            f"conversion mismatch: {len(missing)} table keys have no "
+            f"counterpart in the model, e.g. {missing[:5]}"
+        )
+    _, _, n = inject_npz(params, stats, flat)
+    return n
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Convert public pretrained checkpoints to --pretrained_npz "
+                    "format (flat .npz of '/'-joined flax param paths)")
+    ap.add_argument("--arch", required=True,
+                    choices=["densenet121", "r21d", "flownets"])
+    ap.add_argument("--num_layers", type=int, default=34,
+                    help="r21d depth (34 or 152)")
+    ap.add_argument("input", help="source checkpoint (.pth/.pth.tar/.pkl)")
+    ap.add_argument("output", help="output .npz path")
+    args = ap.parse_args(argv)
+
+    if args.arch == "densenet121":
+        from tennis_tpu.models import get_backbone
+
+        flat = convert_torch_densenet(_load_torch_state_dict(args.input))
+        import jax.numpy as jnp
+
+        model = get_backbone("densenet121", dtype=jnp.float32)
+        # verify against the bare backbone (strip the backbone/ mount)
+        n = _verify(rebase(flat, [""]), model, (1, 64, 64, 3))
+    elif args.arch == "r21d":
+        from tennis_tpu.models.r21d import get_r21d
+
+        flat = convert_caffe2_r21d(_load_caffe2_blobs(args.input),
+                                   num_layers=args.num_layers)
+        # drop the Kinetics-400 head (the tennis models retrain an 11-class
+        # Dense head, like the reference's FrameModel wrap of .features)
+        flat = {k: v for k, v in flat.items() if not k.startswith("dense/")}
+        import jax.numpy as jnp
+
+        model = get_r21d(num_layers=args.num_layers, n_classes=400, t=8,
+                         dtype=jnp.float32)
+        n = _verify(flat, model, (1, 8, 32, 32, 3))
+    else:
+        from tennis_tpu.models.flownet import FlowNetS
+
+        flat = convert_torch_flownets(_load_torch_state_dict(args.input))
+        n = _verify(flat, FlowNetS(), (1, 2, 64, 64, 3))
+
+    save_npz(flat, args.output)
+    print(f"wrote {len(flat)} arrays ({n} verified against the model) "
+          f"to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

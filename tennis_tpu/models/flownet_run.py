@@ -157,11 +157,25 @@ class FlowRunner:
         if params is not None:
             self.variables = {"params": params}
         elif params_path and os.path.exists(params_path):
-            from tennis_tpu.utils import checkpoint as ckpt
-
             dummy = jnp.zeros((1, 2, 64, 64, 3), jnp.float32)
             variables = jax.jit(self.model.init)(jax.random.PRNGKey(seed), dummy)
-            self.variables = ckpt.load_state(params_path, variables)
+            if params_path.endswith(".npz"):
+                # converted torch FlowNet2-S weights (models/convert.py
+                # convert_torch_flownets; the reference loads a torch-ported
+                # checkpoint the same way, models/vision/flownet/README.md)
+                from tennis_tpu.models.convert import inject_npz
+
+                params_t = jax.device_get(dict(variables["params"]))
+                params_t, _, n = inject_npz(params_t, {}, dict(np.load(params_path)))
+                if n == 0:
+                    raise ValueError(
+                        f"no arrays in {params_path} matched FlowNetS"
+                    )
+                self.variables = {"params": params_t}
+            else:
+                from tennis_tpu.utils import checkpoint as ckpt
+
+                self.variables = ckpt.load_state(params_path, variables)
         else:
             dummy = jnp.zeros((1, 2, 64, 64, 3), jnp.float32)
             self.variables = jax.jit(self.model.init)(

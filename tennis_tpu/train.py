@@ -210,7 +210,10 @@ def train_and_evaluate():
     feats = bool(FLAGS.feats_model)
     num_classes = train_set.num_class
     feat_dim = backbone_feature_dim(FLAGS.backbone, FLAGS.data_shape)
-    model = build_model(num_classes, feats)
+    # --temp_pool max|mean runs NO training (reference train.py:326-331 skips
+    # train_model): it is the final-test wrap of a framewise-trained donor
+    pooled_test_only = FLAGS.temp_pool in ("max", "mean") and not FLAGS.save_feats
+    model = None if pooled_test_only else build_model(num_classes, feats)
 
     # --batch_size is GLOBAL (reference semantics); each host's loader yields its
     # 1/process_count stripe of every global batch (agreed seeded permutations)
@@ -244,6 +247,10 @@ def train_and_evaluate():
     logging.info("mesh: %s over %d devices (%d processes)", dict(mesh.shape),
                  mesh.devices.size, jax.process_count())
 
+    if pooled_test_only:
+        return _pooled_final_test(test_set, loaders["test"], mesh, bsharding,
+                                  host_batch)
+
     steps_per_epoch = max(1, len(loaders["train"]))
     lr_steps = [int(s) for s in FLAGS.lr_steps]
     tx, _ = sgd_with_schedule(FLAGS.lr, FLAGS.momentum, FLAGS.wd, lr_steps,
@@ -269,7 +276,7 @@ def train_and_evaluate():
     if FLAGS.backbone_from_id:
         state = _load_backbone_from(state, FLAGS.backbone_from_id)
     if FLAGS.pretrained_npz:
-        state = _load_pretrained_backbone(state, FLAGS.pretrained_npz)
+        state = _load_pretrained_backbone(state, model, FLAGS.pretrained_npz)
 
     # resume
     start_epoch = ckpt.resume_epoch(exp_dir)
@@ -414,6 +421,103 @@ def _metric_set(class_names):
     }
 
 
+def _pooled_final_test(test_set, loader, mesh, bsharding, host_batch):
+    """--temp_pool max|mean final test (reference train.py:326-350): no training.
+    Loads the framewise-trained donor — best epoch of the --feats_model
+    experiment, else newest of --backbone_from_id — pools BACKBONE features over
+    the window, then applies the donor's own trained head (the reference's
+    ``TemporalPooling(num_classes=0)`` wrap, definitions.py:52-55)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tennis_tpu.data.loader import prefetch_to_device
+    from tennis_tpu.data.transforms import device_prepare
+    from tennis_tpu.models import FrameModel, get_backbone
+    from tennis_tpu.parallel import create_train_state, sgd_with_schedule
+    from tennis_tpu.parallel.distributed import fetch_global
+    from tennis_tpu.parallel.mesh import pad_batch
+    from tennis_tpu.utils import checkpoint as ckpt
+    from tennis_tpu.utils.experiments import experiment_dir
+
+    if not (FLAGS.backbone_from_id or FLAGS.feats_model):
+        raise ValueError(
+            "--temp_pool max|mean evaluates a pretrained net: pass "
+            "--feats_model or --backbone_from_id (reference train.py:349)"
+        )
+    feats = bool(FLAGS.feats_model)
+    inner = FrameModel(get_backbone(FLAGS.backbone, dtype=jnp.bfloat16),
+                       test_set.num_class, dtype=jnp.bfloat16)
+    tx, _ = sgd_with_schedule(FLAGS.lr)
+    c = 6 if FLAGS.flow else 3
+    sample = jnp.zeros((1, FLAGS.data_shape, FLAGS.data_shape, c), jnp.float32)
+    state = create_train_state(inner, jax.random.PRNGKey(FLAGS.seed), sample, tx,
+                               {"train": True}, mesh=mesh)
+
+    if FLAGS.feats_model:
+        src_dir = experiment_dir("vision", FLAGS.feats_model)
+        best = ckpt.best_epoch(src_dir)
+        if best is None:
+            raise FileNotFoundError(f"no scores.txt in {src_dir}")
+        state = ckpt.load_state(ckpt.epoch_path(src_dir, best[0]), state)
+        logging.info("testing best donor epoch %d (score=%.4f) from %s",
+                     best[0], best[1], FLAGS.feats_model)
+    else:
+        src_dir = experiment_dir("vision", FLAGS.backbone_from_id)
+        latest = ckpt.latest_epoch(src_dir)
+        if latest is None:
+            raise FileNotFoundError(f"no checkpoints in {src_dir}")
+        state = ckpt.load_state(ckpt.epoch_path(src_dir, latest), state)
+        logging.info("testing donor epoch %d from %s", latest,
+                     FLAGS.backbone_from_id)
+
+    pool = FLAGS.temp_pool
+
+    @jax.jit
+    def pool_step(params, batch_stats, x):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if feats:  # (B, T, F) precomputed feature windows
+            pooled = x
+        else:  # (B, T, H, W, C) uint8 clips
+            if x.dtype == jnp.uint8:
+                flat = x.reshape((-1,) + x.shape[-3:])
+                x = device_prepare(flat).reshape(x.shape)
+            B, T = x.shape[:2]
+            pooled = inner.apply(
+                variables, x.reshape((B * T,) + x.shape[2:]), train=False,
+                method=inner.features,
+            ).reshape(B, T, -1)
+        pooled = (jnp.mean(pooled, axis=1) if pool == "mean"
+                  else jnp.max(pooled, axis=1))
+        return inner.apply(variables, pooled, method=inner.head)
+
+    metrics = _metric_set(test_set.classes)
+    tic = time.time()
+
+    def padded():
+        for batch in iter(loader):
+            yield pad_batch(batch, host_batch)
+
+    for (images, labels, _), n in prefetch_to_device(padded(), bsharding):
+        logits = pool_step(state.params, state.batch_stats, images)
+        logits, labels = fetch_global((logits, labels))
+        procs = logits.shape[0] // host_batch
+        keep = np.concatenate([np.arange(p * host_batch, p * host_batch + n)
+                               for p in range(procs)])
+        logits, labels = logits[keep], labels[keep]
+        for m in metrics.values():
+            m.update(labels, logits)
+
+    for name, m in metrics.items():
+        if name != "prf1":
+            logging.info("test %s=%.4f", *m.get())
+    for name, value in metrics["prf1"].get():
+        logging.info("test %s=%.4f", name, value)
+    logging.info("confusion:\n%s", metrics["prf1"].confusion_str())
+    logging.info("# Samples: %d, Time Taken: %.1f", len(test_set),
+                 time.time() - tic)
+    return metrics
+
+
 def save_features(model, state, datasets, loaders, mesh):
     """Dump backbone features as .npy mirroring the frames layout
     (reference train.py:530-545, dataset.py:140-150)."""
@@ -505,18 +609,53 @@ def _load_backbone_from(state, from_id):
     return state
 
 
-def _load_pretrained_backbone(state, npz_path):
+def _pretrained_mounts(model):
+    """Param-tree paths where a converted backbone table lands, per model family
+    (reference train.py:199-214: backbone AND flow_net start pretrained; rdnet
+    loads its own converted weights; sixc deliberately trains from scratch)."""
+    from tennis_tpu.models import CNNRNN, TemporalPooling, TwoStreamModel
+
+    if isinstance(model, TwoStreamModel):
+        mounts = ["model_flow"]
+        if model.model_rgb is not None:
+            mounts.append("model_rgb")
+        return mounts
+    if isinstance(model, (CNNRNN, TemporalPooling)):
+        return ["model/backbone"] if model.model is not None else []
+    return ["backbone"]  # FrameModel, incl. the rdnet wrap
+
+
+def _load_pretrained_backbone(state, model, npz_path):
     """Load converted pretrained weights from a flat .npz ('/'-joined param paths
-    with batch_stats:: markers, as written by models/convert.py)."""
+    with batch_stats:: markers, as written by models/convert.py), re-rooted at
+    every backbone mount the composed model has."""
     import jax
 
-    from tennis_tpu.models.convert import inject_npz
+    from tennis_tpu.models.convert import inject_npz, rebase
 
-    flat = dict(np.load(npz_path))
-    params = jax.tree_util.tree_map(np.asarray, state.params)
-    stats = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+    if FLAGS.flow == "sixc":
+        raise ValueError(
+            "--pretrained_npz is incompatible with --flow sixc: the 6-channel "
+            "stem has no ImageNet counterpart and the reference trains sixc "
+            "from scratch (reference train.py:202)"
+        )
+    mounts = _pretrained_mounts(model)
+    if not mounts:
+        raise ValueError(
+            "--pretrained_npz needs a pixel backbone; this feats-mode model "
+            "has none (features were extracted by an earlier experiment)"
+        )
+    flat = rebase(dict(np.load(npz_path)), mounts)
+    # ONE batched device_get for both trees: per-leaf np.asarray would be a
+    # tunnel round trip per parameter (see CLAUDE.md)
+    params, stats = jax.device_get((state.params, state.batch_stats))
     params, stats, n = inject_npz(params, stats, flat)
-    logging.info("loaded %d pretrained arrays from %s", n, npz_path)
+    if n == 0:
+        raise ValueError(
+            f"no arrays from {npz_path} matched the model at mounts {mounts} "
+            "— wrong --arch conversion for this --backbone?"
+        )
+    logging.info("loaded %d pretrained arrays from %s at %s", n, npz_path, mounts)
     return state.replace(params=params, batch_stats=stats)
 
 

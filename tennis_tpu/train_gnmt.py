@@ -68,6 +68,12 @@ flags.DEFINE_integer("max_batches", -1, "debug batch limit", flag_values=FLAGS)
 flags.DEFINE_enum("remat", "none", ["none", "block", "hires"],
                   "dense-block rematerialization for the pixels-path CNN "
                   "src_embed (DenseNet backbones)", flag_values=FLAGS)
+flags.DEFINE_string("pretrained_npz", None,
+                    "converted ImageNet backbone weights (.npz from "
+                    "models/convert.py) for the pixels-path src_embed — the "
+                    "reference starts its CNN src_embed from the gluoncv "
+                    "pretrained zoo (train_gnmt.py:149-151)",
+                    flag_values=FLAGS)
 
 
 def build_model(vocab_size: int):
@@ -152,11 +158,29 @@ def train(argv=None):
 
     model = build_model(len(vocab))
 
+    # --num_devices > 1 shards training batches over a data-axis mesh (this
+    # BEATS the reference, which is single-GPU only — train_gnmt.py:126-129);
+    # default stays single-device for reference parity. Beam eval remains
+    # single-host (sequential decode does not amortize across chips here).
+    num_data = max(FLAGS.num_devices, 1)
+    if num_data > 1:
+        from tennis_tpu.parallel import make_mesh
+
+        if FLAGS.batch_size % num_data:
+            raise ValueError(
+                f"--batch_size {FLAGS.batch_size} must divide across "
+                f"{num_data} devices"
+            )
+        mesh = make_mesh(num_data=num_data, devices=jax.devices()[:num_data])
+    else:
+        mesh = None
+
     loaders = {
         "train": BucketedCaptionLoader(
             data_train, FLAGS.batch_size, FLAGS.num_buckets, FLAGS.bucket_scheme,
             FLAGS.bucket_ratio, shuffle=True, seed=FLAGS.seed,
             num_workers=FLAGS.num_workers, pad_multiple=8,
+            batch_multiple=num_data,
         ),
         "val": BucketedCaptionLoader(
             data_val, FLAGS.test_batch_size, FLAGS.num_buckets,
@@ -181,6 +205,25 @@ def train(argv=None):
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})  # pixels path: backbone BN
     logging.info("params: %.2fM", ckpt.param_count(params) / 1e6)
+
+    # pixels path: ImageNet-pretrained src_embed init (reference
+    # train_gnmt.py:149-151 builds the CNN from the pretrained zoo); a
+    # backbone_from_id transplant below overrides it, like the reference's
+    # load_parameters after construction
+    if FLAGS.feats_model is None and FLAGS.pretrained_npz:
+        from tennis_tpu.models.convert import inject_npz, rebase
+
+        flat = rebase(dict(np.load(FLAGS.pretrained_npz)), ["src_embed"])
+        # ONE batched device_get (per-leaf fetches are tunnel round trips)
+        params, batch_stats = jax.device_get((dict(params), dict(batch_stats)))
+        params, batch_stats, n = inject_npz(params, batch_stats, flat)
+        if n == 0:
+            raise ValueError(
+                f"no arrays from {FLAGS.pretrained_npz} matched src_embed — "
+                f"wrong conversion for --backbone={FLAGS.backbone}?"
+            )
+        logging.info("loaded %d pretrained src_embed arrays from %s", n,
+                     FLAGS.pretrained_npz)
 
     # pixels path: transplant a trained vision experiment's backbone into
     # src_embed (reference train_gnmt.py:152-161 loads the latest epoch params)
@@ -236,12 +279,12 @@ def train(argv=None):
 
     # donating jitted step from the shared parallel harness (params + Adam
     # moments update in place; the dropout key derives from a host seed inside
-    # the jit — zero eager device ops per batch). The captioner stays
-    # single-device like the reference (train_gnmt.py:126-129 "only supports
-    # 1 GPU"); make_seq2seq_train_step(mesh=...) is the DP upgrade path.
+    # the jit — zero eager device ops per batch). With --num_devices > 1 the
+    # step runs DP over the mesh (batch args sharded over 'data', replicated
+    # params, pjit-induced gradient all-reduce).
     from tennis_tpu.parallel import make_seq2seq_train_step
 
-    train_step = make_seq2seq_train_step(model, opt, masked_ce_loss)
+    train_step = make_seq2seq_train_step(model, opt, masked_ce_loss, mesh=mesh)
 
     @jax.jit
     def eval_loss_step(params, batch_stats, src, tgt, src_vl, tgt_vl):
@@ -260,6 +303,13 @@ def train(argv=None):
     from tennis_tpu.data.loader import prefetch_to_device
 
     def evaluate(split, tgt_sentences):
+        # beam eval is single-host; under a DP mesh the params are replicated
+        # mesh arrays, so fetch one host copy per eval (once per epoch) rather
+        # than mixing device sets inside the single-device eval jits
+        eval_params, eval_stats = params, batch_stats
+        if mesh is not None:
+            eval_params, eval_stats = jax.device_get((params, batch_stats))
+
         def batches():
             # indices stay host-side (list leaves pass through prefetch)
             for src, tgt, src_vl, tgt_vl, idxs in iter(loaders[split]):
@@ -270,10 +320,10 @@ def train(argv=None):
         for (src, tgt, src_vl, tgt_vl), idxs in prefetch_to_device(batches()):
             # keep the loss on device; one batched fetch after the loop
             losses.append(eval_loss_step(
-                params, batch_stats, src, tgt, src_vl, tgt_vl
+                eval_params, eval_stats, src, tgt, src_vl, tgt_vl
             ))
             toks = translator.translate_tokens(
-                {"params": params, "batch_stats": batch_stats}, src, src_vl,
+                {"params": eval_params, "batch_stats": eval_stats}, src, src_vl,
                 vocab,
             )
             hyps.extend(toks)
@@ -301,7 +351,13 @@ def train(argv=None):
             for batch in iter(loaders["train"]):
                 yield batch, int(np.asarray(batch[3]).sum())
 
-        for batch, batch_tokens in prefetch_to_device(counted_batches()):
+        train_sharding = None
+        if mesh is not None:
+            from tennis_tpu.parallel import batch_sharding
+
+            train_sharding = batch_sharding(mesh)
+        for batch, batch_tokens in prefetch_to_device(counted_batches(),
+                                                      train_sharding):
             src, tgt, src_vl, tgt_vl = batch[:4]
             params, batch_stats, opt_state, loss = train_step(
                 params, batch_stats, opt_state, src, tgt, src_vl, tgt_vl,
