@@ -43,15 +43,19 @@ def evaluate_model():
     logging.info(test_set)
 
     feats = bool(FLAGS.feats_model)
-    # --temp_pool max/mean with a window evaluates a *framewise-trained* model
-    # with its per-frame logits pooled over the window (reference train.py:348-350
-    # wraps TemporalPooling around the trained FrameModel); the checkpoint tree is
-    # the plain FrameModel's, so build that and pool in the eval step.
-    pool_eval = FLAGS.temp_pool in ("max", "mean") and FLAGS.window > 1 and not feats
+    # --temp_pool max/mean evaluates a *framewise-trained* donor with its
+    # backbone features pooled over the window and its OWN trained head applied
+    # after the pool (reference evaluate.py:242-244 wraps
+    # TemporalPooling(num_classes=0): TimeDistributed backbone + model.classes,
+    # definitions.py:52-55); the checkpoint tree is the plain FrameModel's, so
+    # build that and pool between features and head in the eval step.
+    pool_eval = FLAGS.temp_pool in ("max", "mean")
     if pool_eval:
         from tennis_tpu.models import FrameModel, get_backbone
         import jax.numpy as _jnp
 
+        if FLAGS.window <= 1:
+            raise ValueError("--temp_pool max|mean needs --window > 1")
         model = FrameModel(get_backbone(FLAGS.backbone, dtype=_jnp.bfloat16),
                            test_set.num_class)
     else:
@@ -75,14 +79,21 @@ def evaluate_model():
     state = create_train_state(model, rng, jnp.zeros(sample_shape, jnp.float32),
                                tx, {"train": True})
 
-    best = ckpt.best_epoch(exp_dir)
+    # temp-pool mode loads the DONOR experiment's checkpoint (reference
+    # evaluate.py:224-240: mod_path is --feats_model for max/mean)
+    src_dir = exp_dir
+    if pool_eval and FLAGS.feats_model:
+        src_dir = experiment_dir("vision", FLAGS.feats_model)
+    elif pool_eval and FLAGS.backbone_from_id:
+        src_dir = experiment_dir("vision", FLAGS.backbone_from_id)
+    best = ckpt.best_epoch(src_dir)
     if best is None:
-        latest = ckpt.latest_epoch(exp_dir)
+        latest = ckpt.latest_epoch(src_dir)
         if latest is None:
-            raise FileNotFoundError(f"no checkpoints or scores.txt in {exp_dir}")
+            raise FileNotFoundError(f"no checkpoints or scores.txt in {src_dir}")
         best = (latest, float("nan"))
-    state = ckpt.load_state(ckpt.epoch_path(exp_dir, best[0]), state)
-    logging.info("loaded epoch %d (score=%s)", best[0], best[1])
+    state = ckpt.load_state(ckpt.epoch_path(src_dir, best[0]), state)
+    logging.info("loaded epoch %d (score=%s) from %s", best[0], best[1], src_dir)
 
     if FLAGS.save_feats:  # feature dump from the best epoch (reference
         # evaluate.py:186-204,306-321)
@@ -106,14 +117,18 @@ def evaluate_model():
             flat = images.reshape((-1,) + images.shape[-3:])
             images = device_prepare(flat).reshape(images.shape)
         variables = {"params": params, "batch_stats": batch_stats}
-        if pool_eval:  # (B, T, H, W, C): per-frame logits → pool over the window
-            B, T = images.shape[:2]
-            logits = model.apply(
-                variables, images.reshape((B * T,) + images.shape[2:]),
-                train=False,
-            ).reshape(B, T, -1)
-            logits = (jnp.mean(logits, axis=1) if FLAGS.temp_pool == "mean"
-                      else jnp.max(logits, axis=1))
+        if pool_eval:
+            if feats:  # (B, T, F) precomputed feature windows
+                pooled = images
+            else:  # (B, T, H, W, C): per-frame backbone features
+                B, T = images.shape[:2]
+                pooled = model.apply(
+                    variables, images.reshape((B * T,) + images.shape[2:]),
+                    train=False, method=model.features,
+                ).reshape(B, T, -1)
+            pooled = (jnp.mean(pooled, axis=1) if FLAGS.temp_pool == "mean"
+                      else jnp.max(pooled, axis=1))
+            logits = model.apply(variables, pooled, method=model.head)
         else:
             logits = model.apply(variables, images, train=False)
         return jax.nn.softmax(logits, axis=-1)

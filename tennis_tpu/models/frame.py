@@ -52,22 +52,34 @@ class FrameModel(nn.Module):
     channel-first time for 3D backbones (reference definitions.py:28-29 — there it
     swaps NCTHW; here clips are (B, T, H, W, C) and 3D backbones take them as-is, so
     swap is a no-op retained for flag parity).
+
+    ``features``/``head`` expose the two halves separately so the temporal-pooling
+    wrap can pool BETWEEN them (the reference's ``TemporalPooling(num_classes=0)``
+    mode, definitions.py:52-55: TimeDistributed backbone + the model's own trained
+    head) — setup-style so all three methods share one param scope.
     """
 
     backbone: nn.Module
     num_classes: int = -1
     dtype: Any = jnp.bfloat16
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = self.backbone(x, train=train)
+    def setup(self):
         if self.num_classes > 0:
-            x = x.reshape(x.shape[0], -1)
-            x = nn.Dense(self.num_classes, dtype=self.dtype, name="classes")(x)
+            self.classes = nn.Dense(self.num_classes, dtype=self.dtype)
+
+    def __call__(self, x, train: bool = False):
+        x = self.features(x, train=train)
+        if self.num_classes > 0:
+            return self.head(x)
         return x.astype(jnp.float32)
 
     def features(self, x, train: bool = False):
         return self.backbone(x, train=train)
+
+    def head(self, x):
+        """Trained classification head over (pooled) backbone features."""
+        x = x.reshape(x.shape[0], -1)
+        return self.classes(x.astype(self.dtype)).astype(jnp.float32)
 
 
 class TemporalPooling(nn.Module):
@@ -75,17 +87,27 @@ class TemporalPooling(nn.Module):
 
     ``feats=True`` means the input is already (B, T, F) features; otherwise the
     wrapped ``model`` runs time-distributed first. A trailing Dense head is added for
-    ``num_classes > 0``.
+    ``num_classes > 0``. ``wrap_head=True`` is the reference's ``num_classes == 0``
+    mode (definitions.py:52-55, the train.py:348-350 final-test wrap): pool the
+    wrapped FrameModel's BACKBONE features over time, then apply its own trained
+    head — the 0028-row configuration.
     """
 
     model: Optional[nn.Module] = None
     num_classes: int = -1
     pool: str = "max"
     feats: bool = False
+    wrap_head: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.wrap_head:
+            if not self.feats:
+                x = time_distributed(
+                    lambda f: self.model.features(f, train=train), x)
+            x = jnp.mean(x, axis=1) if self.pool == "mean" else jnp.max(x, axis=1)
+            return self.model.head(x)
         if not self.feats and self.model is not None:
             x = time_distributed(lambda f: self.model(f, train=train), x)
         x = jnp.mean(x, axis=1) if self.pool == "mean" else jnp.max(x, axis=1)

@@ -51,6 +51,36 @@ def test_train_evaluate_vision_cycle(env):
     assert len(feats) > 0
 
 
+def test_train_temp_pool_final_test(env):
+    """--temp_pool max|mean through train.py runs NO training: it is the
+    final-test wrap of the framewise-trained donor — pooled backbone features
+    through the donor's own head (reference train.py:326-350, the 0028-row
+    workflow). Depends on the t1 experiment + features from the cycle test."""
+    root, workdir = env
+    from absl import app, flags
+
+    from tennis_tpu import train as train_driver
+
+    flags.FLAGS.unparse_flags()
+    argv = [
+        "train.py", f"--root={root}", "--model_id=tp1", "--backbone=resnet18_v2",
+        "--data_shape=32", "--batch_size=8", "--temp_pool=mean", "--window=4",
+        "--feats_model=t1", "--num_workers=2",
+    ]
+    out = {}
+    def run(_argv):
+        out["metrics"] = train_driver.train_and_evaluate()
+    try:
+        app.run(run, argv=argv)
+    except SystemExit:
+        pass
+    prf1 = out["metrics"]["prf1"].get_dict()
+    assert 0.0 <= prf1["AVG_NB_f1"] <= 1.0
+    # no training happened: the tp1 experiment dir has no checkpoints
+    exp = os.path.join(workdir, "models", "vision", "experiments", "tp1")
+    assert not [f for f in os.listdir(exp) if f.endswith(".params")]
+
+
 def test_evaluate_vision_driver(env):
     """evaluate.py: best-epoch load, metric suite, results dict, --vis overlay
     (reference evaluate.py:78-270). Depends on the t1 experiment trained above."""
