@@ -8,10 +8,13 @@ standard COCO-caption formulations:
 - ROUGE-L: LCS-based F-measure with beta=1.2 (pycocoevalcap rouge.py).
 - CIDEr-D: tf-idf weighted n-gram cosine, n=1..4, length-gaussian sigma=6,
   clipped counts, ×10 scale (pycocoevalcap cider.py defaults, as used by nlg-eval).
-- METEOR: exact-match alignment with the standard fragmentation penalty
-  (alpha=0.9, beta=3, gamma=0.5). **Deviation**: no WordNet synonym/stem/paraphrase
-  stages (Java + corpus deps), so scores are a strict-matching lower bound of
-  official METEOR. Documented so parity comparisons apply a tolerance.
+- METEOR: exact → Porter-stem alignment (tennis_tpu.metrics.porter) with the
+  standard fragmentation penalty (alpha=0.9, beta=3, gamma=0.5). **Deviation**:
+  no WordNet synonym/paraphrase stages (Java + corpus deps), so scores remain a
+  mild lower bound of official METEOR — but the stem stage recovers
+  inflection-level matches (serve/serves/serving share a stem), which dominate
+  the 250-word tennis commentary vocabulary. Documented as D1 in PARITY.md so
+  parity comparisons apply a (now tighter) tolerance.
 """
 from __future__ import annotations
 
@@ -133,15 +136,33 @@ def cider_d(references: Sequence, hypotheses: Sequence, max_n: int = 4,
 
 
 def _meteor_chunks(hyp, ref):
-    """Greedy exact alignment in order; returns (#matches, #chunks)."""
+    """Two-stage greedy alignment in order — exact matches first, then
+    Porter-stem matches over the leftovers (the official aligner's exact → stem
+    module order; synonym/paraphrase stages stay out, see module docstring).
+    Returns (#matches, #chunks)."""
+    from tennis_tpu.metrics.porter import porter_stem
+
     ref_used = [False] * len(ref)
+    hyp_used = [False] * len(hyp)
     align = []
     for i, w in enumerate(hyp):
         for j, r in enumerate(ref):
             if not ref_used[j] and r == w:
                 ref_used[j] = True
+                hyp_used[i] = True
                 align.append((i, j))
                 break
+    hyp_stems = [porter_stem(w) for w in hyp]
+    ref_stems = [porter_stem(r) for r in ref]
+    for i, s in enumerate(hyp_stems):
+        if hyp_used[i]:
+            continue
+        for j, r in enumerate(ref_stems):
+            if not ref_used[j] and r == s:
+                ref_used[j] = True
+                align.append((i, j))
+                break
+    align.sort()
     if not align:
         return 0, 0
     chunks = 1
@@ -153,7 +174,8 @@ def _meteor_chunks(hyp, ref):
 
 def meteor_lite(references: Sequence, hypotheses: Sequence, alpha: float = 0.9,
                 beta: float = 3.0, gamma: float = 0.5) -> float:
-    """Exact-match METEOR (no WordNet stages); mean over sentences, best over refs."""
+    """Exact+stem METEOR (no synonym/paraphrase stages); mean over sentences,
+    best over refs."""
     refs_all, hyps = _normalize(references, hypotheses)
     total = 0.0
     for refs, hyp_t in zip(refs_all, hyps):

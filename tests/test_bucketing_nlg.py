@@ -66,6 +66,47 @@ def test_meteor_lite_hand_value():
     assert meteor_lite(refs, [["zz", "yy"]]) == 0.0
 
 
+def test_meteor_stem_stage():
+    """Inflection variants match through the Porter-stem stage (the official
+    aligner's exact → stem order), scoring identically to the exact form."""
+    refs = [[["player", "serves", "the", "ball"]]]
+    exact = meteor_lite(refs, [["player", "serves", "the", "ball"]])
+    stemmed = meteor_lite(refs, [["player", "serving", "the", "ball"]])
+    assert exact == pytest.approx(1.0 - 0.5 * (1 / 4) ** 3)
+    assert stemmed == pytest.approx(exact)
+    # unrelated words still do not match
+    assert meteor_lite(refs, [["umpire", "walked"]]) == 0.0
+    # exact matches take precedence: identical score, not double counting
+    assert meteor_lite([[["run", "running"]]],
+                       [["running", "run"]]) > 0.0
+
+
+def test_porter_stemmer_matches_nltk_original():
+    nltk_stem = pytest.importorskip("nltk.stem.porter")
+    from tennis_tpu.metrics.porter import porter_stem
+
+    ps = nltk_stem.PorterStemmer(mode="ORIGINAL_ALGORITHM")
+    # the classic suite from the Porter paper + tennis-commentary words
+    words = (
+        "caresses ponies ties caress cats feed agreed plastered bled motoring "
+        "sing conflated troubled sized hopping tanned falling hissing fizzed "
+        "failing filing happy sky relational conditional rational valenci "
+        "hesitanci digitizer conformabli radicalli differentli vileli "
+        "analogousli vietnamization predication operator feudalism "
+        "decisiveness hopefulness callousness formaliti sensitiviti "
+        "sensibiliti triplicate formative formalize electriciti electrical "
+        "hopeful goodness revival allowance inference airliner gyroscopic "
+        "adjustable defensible irritant replacement adjustment dependent "
+        "adoption homologou communism activate angulariti homologous "
+        "effective bowdlerize probate rate cease controll roll "
+        "serves serve served serving ace aces rally rallies volley volleys "
+        "forehand backhand hits hitting winner winners player players point "
+        "points net lets fault faults deuce advantage game games set sets"
+    ).split()
+    for w in words:
+        assert porter_stem(w) == ps.stem(w), w
+
+
 def test_cider_orderings():
     refs = [
         [["a", "cat", "sat", "on", "the", "mat"]],
