@@ -55,12 +55,19 @@ class FixedBucketSampler:
 
     def __init__(self, lengths, batch_size: int, num_buckets: int = 5,
                  scheme: str = "constant", ratio: float = 0.0,
-                 shuffle: bool = False, seed: int = 0):
+                 shuffle: bool = False, seed: int = 0,
+                 batch_multiple: int = 1):
         self.lengths = list(lengths)
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.epoch = 0
+        # every yielded batch size is a multiple of this (data-parallel meshes
+        # need the batch axis to divide across devices); ragged per-bucket tail
+        # batches are trimmed, dropping < batch_multiple samples per bucket —
+        # under shuffle a different tail each epoch (documented deviation: the
+        # reference's gluonnlp sampler keeps ragged tails, single-GPU only)
+        self.batch_multiple = max(1, batch_multiple)
 
         if not self.lengths:  # empty split: zero batches, still iterable
             self.keys, self.buckets, self.batch_sizes = [], [], []
@@ -94,21 +101,32 @@ class FixedBucketSampler:
 
     def __iter__(self):
         rng = np.random.default_rng(self.seed + self.epoch)
+        bm = self.batch_multiple
         batches = []
         for bucket, bs in zip(self.buckets, self.batch_sizes):
             order = list(bucket)
             if self.shuffle:
                 rng.shuffle(order)
             for i in range(0, len(order), bs):
-                batches.append(order[i : i + bs])
+                batch = order[i : i + bs]
+                if bm > 1:
+                    batch = batch[: len(batch) - len(batch) % bm]
+                if batch:
+                    batches.append(batch)
         if self.shuffle:
             rng.shuffle(batches)
         return iter(batches)
 
     def __len__(self):
-        return sum(
-            (len(b) + bs - 1) // bs for b, bs in zip(self.buckets, self.batch_sizes)
-        )
+        bm = self.batch_multiple
+        total = 0
+        for b, bs in zip(self.buckets, self.batch_sizes):
+            if bs - bs % bm > 0:
+                total += len(b) // bs
+            tail = len(b) % bs
+            if tail - tail % bm > 0:
+                total += 1
+        return total
 
     def stats(self) -> str:
         lines = ["FixedBucketSampler:"]
@@ -127,13 +145,13 @@ class BucketedCaptionLoader:
     def __init__(self, dataset, batch_size: int, num_buckets: int = 5,
                  scheme: str = "constant", ratio: float = 0.0,
                  shuffle: bool = False, seed: int = 0, num_workers: int = 8,
-                 pad_multiple: int = 1):
+                 pad_multiple: int = 1, batch_multiple: int = 1):
         from concurrent.futures import ThreadPoolExecutor
 
         self.dataset = dataset
         self.sampler = FixedBucketSampler(
             dataset.get_data_lens(), batch_size, num_buckets, scheme, ratio,
-            shuffle, seed,
+            shuffle, seed, batch_multiple=batch_multiple,
         )
         self.num_workers = max(1, num_workers)
         self.pad_multiple = pad_multiple
