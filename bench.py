@@ -36,6 +36,7 @@ fits the budget even from a cold compilation cache.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -172,6 +173,76 @@ def measure_train(jax, jnp):
     return best
 
 
+def loader_bench():
+    """Host input-pipeline throughput probe (``python bench.py --loader``):
+    synthetic 720p broadcast-like JPEGs → decode + 512² test geometry through
+    the production DataLoader, native-vs-cv2 decode. Prints one JSON line.
+    The reference's analogue is the gluon DataLoader worker path (reference
+    train.py:187-193, dataset.py:219-227)."""
+    import cv2
+
+    from tennis_tpu.data import transforms as T
+    from tennis_tpu.data.loader import DataLoader
+    from tennis_tpu.data.tennis_set import _read_image_rgb
+    from tennis_tpu.native.jpeg import HAVE_NATIVE_JPEG
+
+    root = "/tmp/tennis_loader_bench"
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(0)
+    paths = []
+    base = rng.integers(0, 255, (45, 80, 3), np.uint8)
+    frame = cv2.resize(base, (1280, 720), interpolation=cv2.INTER_CUBIC)
+    for i in range(32):
+        p = os.path.join(root, f"{i}.jpg")
+        if not os.path.exists(p):
+            noisy = cv2.add(frame, rng.integers(0, 12, frame.shape, np.uint8))
+            cv2.imwrite(p, noisy, [cv2.IMWRITE_JPEG_QUALITY, 90])
+        paths.append(p)
+
+    class JpegDataset:
+        def __init__(self, native: bool):
+            self.native = native
+
+        def __len__(self):
+            return 4096
+
+        def __getitem__(self, i):
+            p = paths[i % len(paths)]
+            if self.native:
+                img = _read_image_rgb(p, 544)
+            else:
+                img = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+            return T.test_geometry(img, 512), np.int32(0), np.int32(i)
+
+    def run(native: bool, n_target=768):
+        workers = os.cpu_count() or 8
+        dl = DataLoader(JpegDataset(native), batch_size=64,
+                        num_workers=workers)
+        it = iter(dl)
+        next(it)  # warm (spawns workers, touches page cache)
+        tic, n = time.perf_counter(), 0
+        for batch in it:
+            n += batch[0].shape[0]
+            if n >= n_target:
+                break
+        return n / (time.perf_counter() - tic)
+
+    fps_cv2 = run(native=False)
+    fps_native = run(native=True) if HAVE_NATIVE_JPEG else 0.0
+    cores = os.cpu_count() or 1
+    result = {
+        "metric": "host decode+geometry (720p JPEG -> 512^2, all cores)",
+        "value": round(max(fps_native, fps_cv2), 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps_native / max(fps_cv2, 1e-9), 2),
+        "cores": cores,
+        "fps_cv2": round(fps_cv2, 1),
+        "fps_native": round(fps_native, 1),
+        "ms_per_frame_per_core": round(cores * 1e3 / max(fps_native, fps_cv2, 1e-9), 2),
+    }
+    print(json.dumps(result))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -269,4 +340,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--loader" in sys.argv[1:]:
+        loader_bench()
+    else:
+        main()

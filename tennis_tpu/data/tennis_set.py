@@ -59,7 +59,17 @@ def get_feature_path(feat_dir, video_name, frame_number, chunk_size=CHUNK_SIZE):
     )
 
 
-def _read_image_rgb(path: str) -> np.ndarray:
+def _read_image_rgb(path: str, min_short: int | None = None) -> np.ndarray:
+    """RGB uint8 read. JPEGs go through the native libjpeg path (bit-exact with
+    cv2's decode, ~1.5× faster: direct RGB output skips the BGR intermediate,
+    and ≥2× oversized sources decode at a SIMD-friendly 1/2^k DCT scale bounded
+    by ``min_short``); anything else, or a missing native toolchain, falls back
+    to cv2."""
+    from tennis_tpu.native.jpeg import decode_jpeg_file
+
+    img = decode_jpeg_file(path, min_short)
+    if img is not None:
+        return img
     import cv2
 
     img = cv2.imread(path, cv2.IMREAD_COLOR)
@@ -99,8 +109,13 @@ class TennisSet:
         save_feats=False,
         balance_seed: int = 0,
         extract_missing: bool = False,
+        decode_short: int | None = None,
     ):
         self._root = root
+        # decode JPEGs no smaller than this short side (drivers pass
+        # data_shape+32, the test-geometry input size): ≥2× oversized sources
+        # decode at a cheap DCT scale instead of full size
+        self._decode_short = decode_short
         self._captions = captions
         self._split = split
         self._balance = balance
@@ -312,7 +327,12 @@ class TennisSet:
     def _load_frame(self, video, frame):
         if self._load_feats:
             return np.load(get_feature_path(self.feat_dir, video, frame))
-        img = _read_image_rgb(get_image_path(self._frames_dir, video, frame))
+        # the 6-channel path needs full-res frames: the 8-row crop below and the
+        # RGB/flow concat assume the on-disk pixel relationship, which a DCT
+        # decode scale would break
+        min_short = None if self._flow else self._decode_short
+        img = _read_image_rgb(get_image_path(self._frames_dir, video, frame),
+                              min_short)
         if self._flow:
             flw = _read_image_rgb(get_image_path(self._flow_dir, video, frame))
             # flow images are 4×-upscaled from quarter-res inference and 16 px shorter;

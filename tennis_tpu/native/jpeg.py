@@ -1,0 +1,95 @@
+"""ctypes binding for the scaled JPEG decoder (jpeg_decode.cpp).
+
+``decode_jpeg_file(path, min_short)`` returns an RGB uint8 array decoded with
+the smallest M/8 DCT downscale whose short side still covers ``min_short``
+(the geometry stage's input requirement), or ``None`` when the native library
+is unavailable or the file is not a decodable JPEG — callers fall back to cv2.
+Compiled on first use against the system libjpeg(-turbo), like
+tennis_tpu/native/batch_ops.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "jpeg_decode.cpp")
+_LIB = os.path.join(_HERE, "libjpeg_decode.so")
+
+_lib = None
+_lib_failed = False
+
+
+def _load():
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        for cc in ("c++", "g++", "clang++"):
+            try:
+                subprocess.run(
+                    [cc, "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB, "-ljpeg"],
+                    check=True, capture_output=True,
+                )
+                break
+            except (FileNotFoundError, subprocess.CalledProcessError):
+                continue
+        else:
+            _lib_failed = True
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB)
+    except OSError:
+        _lib_failed = True
+        return None
+    u8p = ctypes.POINTER(ctypes.c_ubyte)
+    i32p = ctypes.POINTER(ctypes.c_int)
+    lib.tjp_dims.restype = ctypes.c_int
+    lib.tjp_dims.argtypes = [u8p, ctypes.c_size_t, ctypes.c_int, i32p, i32p,
+                             i32p]
+    lib.tjp_decode.restype = ctypes.c_int
+    lib.tjp_decode.argtypes = [u8p, ctypes.c_size_t, ctypes.c_int, u8p,
+                               ctypes.c_long, i32p, i32p]
+    _lib = lib
+    return lib
+
+
+HAVE_NATIVE_JPEG = _load() is not None
+
+
+def decode_jpeg(data: bytes, min_short: int | None = None):
+    """RGB uint8 (H, W, 3) from in-memory JPEG, DCT-downscaled to the smallest
+    M/8 that keeps the short side >= ``min_short``; None on any failure."""
+    lib = _load()
+    if lib is None or len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    buf = (ctypes.c_ubyte * len(data)).from_buffer_copy(data)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    scale = ctypes.c_int()
+    if lib.tjp_dims(buf, len(data), int(min_short or 0), ctypes.byref(h),
+                    ctypes.byref(w), ctypes.byref(scale)):
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.tjp_decode(
+        buf, len(data), scale.value,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), out.nbytes,
+        ctypes.byref(h), ctypes.byref(w),
+    )
+    if rc or (h.value, w.value) != out.shape[:2]:
+        return None
+    return out
+
+
+def decode_jpeg_file(path: str, min_short: int | None = None):
+    if not path.lower().endswith((".jpg", ".jpeg")):
+        return None
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except OSError:
+        return None
+    return decode_jpeg(data, min_short)

@@ -146,10 +146,21 @@ def make_datasets():
         flow=bool(FLAGS.flow), feats_model=FLAGS.feats_model or None,
         save_feats=FLAGS.save_feats,
     )
+    # eval-path decodes may use a bounded DCT scale (tennis_set._read_image_rgb);
+    # the train split keeps full-res decode while RandomResizedCrop applies
+    # (reference crops from the full-res image)
+    decode_short = FLAGS.data_shape + 32
+    train_decode = (
+        decode_short
+        if (FLAGS.window > 1 or FLAGS.flow or FLAGS.save_feats) else None
+    )
     train_set = TennisSet(split="train", every=every[0], balance=balance_train,
-                          balance_seed=FLAGS.seed, **common)
-    val_set = TennisSet(split="val", every=every[1], balance=False, **common)
-    test_set = TennisSet(split="test", every=every[2], balance=False, **common)
+                          balance_seed=FLAGS.seed, decode_short=train_decode,
+                          **common)
+    val_set = TennisSet(split="val", every=every[1], balance=False,
+                        decode_short=decode_short, **common)
+    test_set = TennisSet(split="test", every=every[2], balance=False,
+                         decode_short=decode_short, **common)
     return train_set, val_set, test_set
 
 
@@ -162,7 +173,11 @@ def _geometry_transform(train: bool):
     def apply(sample):
         img, label, idx = sample
         if img.ndim == 2 or (img.ndim == 3 and img.shape[-1] in (3, 6)):
-            if train and FLAGS.window == 1 and not FLAGS.flow:
+            # --save_feats forces the deterministic test transform on the train
+            # split too (reference train.py:159-161: transform_train =
+            # transform_test), so dumped features are crop-stable
+            if (train and FLAGS.window == 1 and not FLAGS.flow
+                    and not FLAGS.save_feats):
                 img = T.train_geometry(img, FLAGS.data_shape, rng.get())
             else:
                 img = T.test_geometry(img, FLAGS.data_shape)
@@ -319,11 +334,13 @@ def train_and_evaluate():
 
     def run_eval(split):
         metrics = _metric_set(test_set.classes)
+        n_total = len(loaders[split].dataset)
 
         def padded():
             for batch in iter(loaders[split]):
                 yield pad_batch(batch, host_batch)
 
+        stripe_off = 0
         for (images, labels, _), n in prefetch_to_device(padded(), bsharding):
             logits = eval_step(state.params, state.batch_stats, images)
             # one fetch for both arrays (device_get refuses non-fully-
@@ -333,8 +350,16 @@ def train_and_evaluate():
             # stripe lengths keep n identical across hosts).
             logits, labels = fetch_global((logits, labels))
             procs = logits.shape[0] // host_batch
-            keep = np.concatenate([np.arange(p * host_batch, p * host_batch + n)
-                                   for p in range(procs)])
+            # drop the loader's wrap-padded duplicates exactly: shard p's
+            # stripe element j sits at padded-permutation position p + j*procs,
+            # a duplicate iff >= n_total (data/loader.py _indices) — pod-mode
+            # metrics equal the single-host pass
+            pos = stripe_off + np.arange(n)
+            keep = np.concatenate([
+                (p * host_batch + np.arange(n))[p + pos * procs < n_total]
+                for p in range(procs)
+            ])
+            stripe_off += n
             logits, labels = logits[keep], labels[keep]
             for m in metrics.values():
                 m.update(labels, logits)

@@ -118,12 +118,17 @@ def make_datasets():
 
     common = dict(root=FLAGS.root, captions=True, every=FLAGS.every,
                   feats_model=FLAGS.feats_model or None)
+    # eval decodes may use a bounded DCT scale; train keeps full-res for
+    # RandomResizedCrop parity (see tennis_tpu/train.py make_datasets)
+    decode_short = FLAGS.data_shape + 32
     data_train = TennisSet(split="train", max_cap_len=FLAGS.tgt_max_len,
                            transform=train_transform, **common)
     data_val = TennisSet(split="val", vocab=data_train.vocab, inference=True,
-                         transform=test_transform, **common)
+                         transform=test_transform, decode_short=decode_short,
+                         **common)
     data_test = TennisSet(split="test", vocab=data_train.vocab, inference=True,
-                          transform=test_transform, **common)
+                          transform=test_transform, decode_short=decode_short,
+                          **common)
     return data_train, data_val, data_test
 
 

@@ -1,0 +1,71 @@
+"""Native libjpeg decode path (tennis_tpu/native/jpeg*): bit-exactness vs cv2,
+SIMD-only DCT scaling, and the cv2 fallback chain in the dataset reader."""
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from tennis_tpu.data.tennis_set import _read_image_rgb
+from tennis_tpu.native.jpeg import HAVE_NATIVE_JPEG, decode_jpeg, decode_jpeg_file
+
+needs_native = pytest.mark.skipif(not HAVE_NATIVE_JPEG,
+                                  reason="no native toolchain/libjpeg")
+
+
+@pytest.fixture(scope="module")
+def jpg(tmp_path_factory):
+    d = tmp_path_factory.mktemp("jpg")
+    rng = np.random.default_rng(0)
+    img = cv2.resize(rng.integers(0, 255, (45, 80, 3), np.uint8), (1280, 720),
+                     interpolation=cv2.INTER_CUBIC)
+    p = str(d / "frame.jpg")
+    cv2.imwrite(p, img, [cv2.IMWRITE_JPEG_QUALITY, 90])
+    return p
+
+
+@needs_native
+def test_full_decode_bit_exact_with_cv2(jpg):
+    """cv2 links the same libjpeg-turbo generation: full-scale output must be
+    IDENTICAL, so the native path is a pure speedup, not a deviation."""
+    ours = decode_jpeg_file(jpg)
+    ref = cv2.cvtColor(cv2.imread(jpg), cv2.COLOR_BGR2RGB)
+    assert ours.shape == ref.shape
+    np.testing.assert_array_equal(ours, ref)
+
+
+@needs_native
+def test_scaled_decode_simd_factors_only(jpg):
+    # 720 short side, min 544 -> no SIMD scale fits, full decode
+    assert decode_jpeg_file(jpg, 544).shape == (720, 1280, 3)
+    # min 360 -> 1/2 scale fits exactly
+    half = decode_jpeg_file(jpg, 360)
+    assert half.shape == (360, 640, 3)
+    # and the scaled image resembles a downscaled full decode (DCT vs area
+    # averaging differ, so compare loosely)
+    full = decode_jpeg_file(jpg)
+    area = cv2.resize(full, (640, 360), interpolation=cv2.INTER_AREA)
+    assert np.abs(half.astype(int) - area.astype(int)).mean() < 16
+    # min 90 -> 1/8
+    assert decode_jpeg_file(jpg, 90).shape == (90, 160, 3)
+
+
+def test_non_jpeg_returns_none_and_reader_falls_back(tmp_path):
+    png = str(tmp_path / "x.png")
+    cv2.imwrite(png, np.full((32, 48, 3), 17, np.uint8))
+    assert decode_jpeg_file(png) is None
+    img = _read_image_rgb(png, 544)  # cv2 fallback path
+    assert img.shape == (32, 48, 3) and int(img[0, 0, 0]) == 17
+
+
+def test_garbage_bytes_return_none():
+    assert decode_jpeg(b"not a jpeg at all") is None
+    assert decode_jpeg(b"") is None
+
+
+@needs_native
+def test_dataset_reader_uses_native(jpg):
+    ours = _read_image_rgb(jpg, None)
+    ref = cv2.cvtColor(cv2.imread(jpg), cv2.COLOR_BGR2RGB)
+    np.testing.assert_array_equal(ours, ref)
