@@ -74,9 +74,10 @@ class DataLoader:
             # equal-length stripes: pad the permutation to a multiple of
             # num_shards by wrapping, so every host sees the same batch count
             # (hosts run collectives in lockstep; unequal counts deadlock).
-            # The <= num_shards-1 wrapped duplicates are counted twice by
-            # multi-host EVAL metrics — negligible at dataset scale, and the
-            # canonical numbers come from the single-host evaluate.py pass
+            # Shard s's stripe element j sits at padded position s + j*num_shards;
+            # positions >= n are the wrapped duplicates — multi-host eval masks
+            # them out by this rule (train.py run_eval), making pod metrics
+            # exactly equal to the single-host pass
             per = -(-n // self.num_shards)
             idx = np.resize(idx, per * self.num_shards)
         return idx[self.shard_id :: self.num_shards]

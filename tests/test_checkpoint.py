@@ -53,3 +53,28 @@ def test_scores_and_best_epoch(tmp_path):
 
 def test_param_count():
     assert ckpt.param_count(_state()["params"]) == 9
+
+
+def test_orbax_roundtrip(tmp_path):
+    """The pod-scale checkpoint variant (save_state_orbax/load_state_orbax):
+    directory checkpoints restoring into a template, same selection surface."""
+    import pytest
+
+    pytest.importorskip("orbax.checkpoint")
+    path = os.path.join(str(tmp_path), "0003.orbax")
+    state = _state()
+    ckpt.save_state_orbax(path, state)
+    assert os.path.isdir(path)
+    zero = jax.tree_util.tree_map(jnp.zeros_like, state)
+    restored = ckpt.load_state_orbax(path, zero)
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]), np.asarray(state["params"]["w"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["b"]), np.asarray(state["params"]["b"])
+    )
+    assert int(restored["step"]) == 7
+    # overwrite (force=True) must succeed, like re-saving an epoch after resume
+    ckpt.save_state_orbax(path, restored)
+    again = ckpt.load_state_orbax(path, zero)
+    assert int(again["step"]) == 7

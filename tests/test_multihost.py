@@ -84,6 +84,34 @@ for x, y, idx in prefetch_to_device(iter(loader), sharding):
     sums.append(float(g.sum()))
     n_batches += 1
 
+# exact padded eval: the wrap-duplicate mask (train.py run_eval rule — shard
+# p's stripe element j is a duplicate iff p + j*num_shards >= n) must count
+# every dataset row exactly once, making pod metrics equal the single-host pass
+from tennis_tpu.parallel.mesh import pad_batch
+
+host_batch = host_batch_slice(GLOBAL_BATCH)
+loader_ev = DataLoader(ds, batch_size=host_batch,
+                       num_shards=jax.process_count(),
+                       shard_id=jax.process_index())
+procs = jax.process_count()
+seen = []
+stripe_off = 0
+
+def padded():
+    for batch in iter(loader_ev):
+        yield pad_batch(batch, host_batch)
+
+for (x, y, idx), n in prefetch_to_device(padded(), sharding):
+    g_idx = fetch_global(idx)
+    pos = stripe_off + np.arange(n)
+    keep = np.concatenate([
+        (p * host_batch + np.arange(n))[p + pos * procs < len(ds)]
+        for p in range(procs)
+    ])
+    stripe_off += n
+    seen.extend(np.asarray(g_idx)[keep].tolist())
+assert sorted(seen) == list(range(len(ds))), sorted(seen)
+
 # the production training harness over the pod mesh: tiny DenseNet FrameModel,
 # donated sharded step, per-host batch stripes; losses must agree globally
 import jax.numpy as jnp
