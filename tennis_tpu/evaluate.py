@@ -32,9 +32,17 @@ def evaluate_model():
     from tennis_tpu.data.transforms import device_prepare
     from tennis_tpu.models import backbone_feature_dim
     from tennis_tpu.parallel import batch_sharding, create_train_state, make_mesh
+    from tennis_tpu.parallel.distributed import (
+        fetch_global, host_batch_slice, initialize_multihost, make_pod_mesh,
+    )
     from tennis_tpu.parallel.train_step import sgd_with_schedule
     from tennis_tpu.utils import checkpoint as ckpt
     from tennis_tpu.utils.experiments import experiment_dir, setup_logging
+
+    # pod-mode eval (symmetry with train.py --multihost): sharded loaders,
+    # lockstep collective fetches, exact wrap-duplicate masking
+    if FLAGS.multihost:
+        initialize_multihost(FLAGS.coordinator, FLAGS.num_hosts, FLAGS.host_id)
 
     exp_dir = experiment_dir("vision", FLAGS.model_id)
     setup_logging(exp_dir, {k: FLAGS[k].value for k in FLAGS})
@@ -62,13 +70,17 @@ def evaluate_model():
         model = train_driver.build_model(test_set.num_class, feats)
     feat_dim = backbone_feature_dim(FLAGS.backbone, FLAGS.data_shape)
 
+    host_batch = FLAGS.batch_size
+    if jax.process_count() > 1:
+        host_batch = host_batch_slice(FLAGS.batch_size)
     loader = DataLoader(
-        test_set, batch_size=FLAGS.batch_size, shuffle=False,
+        test_set, batch_size=host_batch, shuffle=False,
         num_workers=FLAGS.num_workers if FLAGS.num_workers > 0 else 8,
+        num_shards=jax.process_count(), shard_id=jax.process_index(),
         transform=None if feats else train_driver._geometry_transform(False),
     )
 
-    mesh = make_mesh()
+    mesh = make_pod_mesh() if FLAGS.multihost else make_mesh()
     tx, _ = sgd_with_schedule(FLAGS.lr)
     rng = jax.random.PRNGKey(FLAGS.seed)
     c = 6 if FLAGS.flow else 3
@@ -100,8 +112,9 @@ def evaluate_model():
         train_set, val_set, _ = train_driver.make_datasets()
         loaders = {
             split: DataLoader(
-                ds, batch_size=FLAGS.batch_size, shuffle=False,
+                ds, batch_size=host_batch, shuffle=False,
                 num_workers=FLAGS.num_workers if FLAGS.num_workers > 0 else 8,
+                num_shards=jax.process_count(), shard_id=jax.process_index(),
                 transform=None if feats else train_driver._geometry_transform(False),
             )
             for split, ds in (("train", train_set), ("val", val_set),
@@ -142,16 +155,28 @@ def evaluate_model():
 
     def padded():
         for batch in iter(loader):
-            yield pad_batch(batch, FLAGS.batch_size)
+            yield pad_batch(batch, host_batch)
 
+    n_total = len(test_set)
+    stripe_off = 0
     # device transfers overlap compute; one host fetch per batch feeds all metrics
     for (images, labels, idxs), n in prefetch_to_device(padded(),
                                                         batch_sharding(mesh)):
         probs = eval_step(state.params, state.batch_stats, images)
-        # one host fetch per batch (each device_get is a tunnel round trip)
-        probs_np, labels, idxs = (
-            np.asarray(a)[:n] for a in jax.device_get((probs, labels, idxs))
-        )
+        # one host fetch per batch (a collective under --multihost; every host
+        # reaches it in lockstep thanks to equal loader stripes)
+        probs_np, labels, idxs = fetch_global((probs, labels, idxs))
+        # rows are process-major stripes of host_batch; keep the first n of
+        # each stripe minus the loader's wrap-padded duplicates (exact rule:
+        # shard p element j duplicates iff p + j*procs >= n_total)
+        procs = probs_np.shape[0] // host_batch
+        pos = stripe_off + np.arange(n)
+        keep = np.concatenate([
+            (p * host_batch + np.arange(n))[p + pos * procs < n_total]
+            for p in range(procs)
+        ])
+        stripe_off += n
+        probs_np, labels, idxs = probs_np[keep], labels[keep], idxs[keep]
         for m in metrics.values():
             m.update(labels, probs_np)
         for p, label, idx in zip(probs_np, labels, idxs):
@@ -165,7 +190,8 @@ def evaluate_model():
         logging.info("test %s=%.4f", name, value)
     logging.info("confusion:\n%s", metrics["prf1"].confusion_str())
 
-    if FLAGS.vis:
+    if FLAGS.vis and jax.process_index() == 0:
+        # every host holds the full gathered results; one writer is enough
         from tennis_tpu.utils.visualisation import visualise_events
 
         out_path = os.path.join(exp_dir, "results.mp4")

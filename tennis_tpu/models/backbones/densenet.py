@@ -177,7 +177,13 @@ class _DenseLayer(nn.Module):
         h = nn.relu(h)
         h = nn.Conv(self.growth_rate, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv2")(h)
-        return h
+        # checkpoint marker for remat="growth": saving the narrow (growth_rate)
+        # layer outputs lets the block-remat replay skip every conv2 — the
+        # replayed chain reconstructs concat states from saved parts instead of
+        # recomputing them (no-op without a surrounding checkpoint policy)
+        from jax.ad_checkpoint import checkpoint_name
+
+        return checkpoint_name(h, "growth")
 
 
 class _Transition(nn.Module):
@@ -217,6 +223,11 @@ class DenseNet(nn.Module):
     #             "block"'s 334.5 — storing blocks 2-3 pushes XLA into its own
     #             spill-rematerialization, costing more than the explicit
     #             recompute saves; "block" is the recommended training mode.
+    #   "growth" — block checkpoint with policy save_only_these_names("growth"):
+    #             each layer's narrow growth output is saved, so the backward
+    #             replay rebuilds concat states from saved parts and skips every
+    #             conv2 recompute (~40% of replay FLOPs) at the cost of storing
+    #             the growth parts (~growth_rate/avg-width of the activations).
     remat: str | None = None
 
     def _dense_block(self, parts, i: int, num_layers: int, channels: int,
@@ -257,15 +268,21 @@ class DenseNet(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
-        if self.remat not in (None, "block", "hires"):
+        if self.remat not in (None, "block", "hires", "growth"):
             raise ValueError(f"unknown remat mode {self.remat!r}")
         # static_argnums count the module as argument 0
-        remat_fn = nn.remat(DenseNet._dense_block, static_argnums=(2, 3, 4, 5))
+        policy = (
+            jax.checkpoint_policies.save_only_these_names("growth")
+            if self.remat == "growth" else None
+        )
+        remat_fn = nn.remat(DenseNet._dense_block, static_argnums=(2, 3, 4, 5),
+                            policy=policy)
 
         parts = [x]
         channels = self.spec.num_init_features
         for i, num_layers in enumerate(self.spec.block_config):
-            wrap = self.remat == "block" or (self.remat == "hires" and i < 2)
+            wrap = self.remat in ("block", "growth") or (
+                self.remat == "hires" and i < 2)
             block_fn = remat_fn if wrap else DenseNet._dense_block
             parts = block_fn(self, parts, i, num_layers, channels, train)
             channels += num_layers * self.spec.growth_rate

@@ -69,7 +69,7 @@ flags.DEFINE_string("coordinator", None,
                     "— auto-discovered)")
 flags.DEFINE_integer("num_hosts", None, "multihost process count (omit on pods)")
 flags.DEFINE_integer("host_id", None, "this process's index (omit on pods)")
-flags.DEFINE_enum("remat", "none", ["none", "block", "hires"],
+flags.DEFINE_enum("remat", "none", ["none", "block", "hires", "growth"],
                   "Dense-block rematerialization (DenseNet backbones): trades "
                   "recompute for activation memory so larger batches fit")
 

@@ -65,7 +65,7 @@ flags.DEFINE_integer("num_workers", 8, "loader threads", flag_values=FLAGS)
 flags.DEFINE_integer("seed", 100, "rng seed (reference seeds 100/10000)",
                      flag_values=FLAGS)
 flags.DEFINE_integer("max_batches", -1, "debug batch limit", flag_values=FLAGS)
-flags.DEFINE_enum("remat", "none", ["none", "block", "hires"],
+flags.DEFINE_enum("remat", "none", ["none", "block", "hires", "growth"],
                   "dense-block rematerialization for the pixels-path CNN "
                   "src_embed (DenseNet backbones)", flag_values=FLAGS)
 flags.DEFINE_string("pretrained_npz", None,

@@ -151,6 +151,27 @@ def test_train_gnmt_cycle(env):
                           "ROUGE_L", "CIDEr"}
 
 
+def test_train_gnmt_num_devices(env):
+    """train_gnmt --num_devices 8: bucketed batches shard over the virtual
+    8-device data mesh (beats the reference's single-GPU limit,
+    train_gnmt.py:126-129). Depends on the tf feature store from the cycle test."""
+    root, workdir = env
+    from tennis_tpu.train_gnmt import main as gnmt_main
+
+    # 4 devices / batch 4: the fixture has 4 train captions, and the sampler
+    # trims batches to multiples of num_devices
+    gnmt_main([
+        "train_gnmt.py", f"--root={root}", "--model_id=g3", "--feats_model=tf",
+        "--num_devices=4", "--epochs=3", "--batch_size=4", "--test_batch_size=4",
+        "--num_hidden=16", "--emb_size=8", "--num_buckets=1", "--tgt_max_len=10",
+        "--emb_file=", "--log_interval=10", "--max_batches=2",
+    ])
+    exp = os.path.join(workdir, "models", "captioning", "experiments", "g3")
+    assert os.path.exists(os.path.join(exp, "valid_best.params"))
+    log = open(os.path.join(exp, "log.txt")).read()
+    assert "loss=" in log  # finite losses logged from the sharded step
+
+
 def test_train_gnmt_pixels_path(env):
     """Pixels-path captioner: backbone transplant + freeze + on-device augment
     (reference train_gnmt.py:149-180)."""
