@@ -64,6 +64,11 @@ def run(root: str, small: bool = False):
             ["train", f"--root={root}", "--model_id=0042",
              "--feats_model=0006", "--temp_pool=gru", window] + vision)
 
+    print("== 3b. temporal-pooling final test (0028: no training, donor wrap)")
+    run_app(train_driver.main,
+            ["train", f"--root={root}", "--model_id=0028",
+             "--feats_model=0006", "--temp_pool=mean", window] + vision)
+
     print("== 4. evaluate with overlay video")
     run_app(evaluate_driver.main,
             ["evaluate", f"--root={root}", "--model_id=0006", "--vis"] + vision)

@@ -469,6 +469,8 @@ def _pooled_final_test(test_set, loader, mesh, bsharding, host_batch):
             "--temp_pool max|mean evaluates a pretrained net: pass "
             "--feats_model or --backbone_from_id (reference train.py:349)"
         )
+    if FLAGS.window <= 1:
+        raise ValueError("--temp_pool max|mean needs --window > 1")
     feats = bool(FLAGS.feats_model)
     inner = FrameModel(get_backbone(FLAGS.backbone, dtype=jnp.bfloat16),
                        test_set.num_class, dtype=jnp.bfloat16)
@@ -522,12 +524,19 @@ def _pooled_final_test(test_set, loader, mesh, bsharding, host_batch):
         for batch in iter(loader):
             yield pad_batch(batch, host_batch)
 
+    stripe_off = 0
     for (images, labels, _), n in prefetch_to_device(padded(), bsharding):
         logits = pool_step(state.params, state.batch_stats, images)
         logits, labels = fetch_global((logits, labels))
         procs = logits.shape[0] // host_batch
-        keep = np.concatenate([np.arange(p * host_batch, p * host_batch + n)
-                               for p in range(procs)])
+        # process-major stripes, minus wrap-padded duplicates (same exact rule
+        # as run_eval)
+        pos = stripe_off + np.arange(n)
+        keep = np.concatenate([
+            (p * host_batch + np.arange(n))[p + pos * procs < len(test_set)]
+            for p in range(procs)
+        ])
+        stripe_off += n
         logits, labels = logits[keep], labels[keep]
         for m in metrics.values():
             m.update(labels, logits)
