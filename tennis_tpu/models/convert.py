@@ -109,20 +109,38 @@ def convert_caffe2_r21d(blobs: dict, num_layers: int = 34,
     out[f"{prefix}init/temporal/kernel"] = _conv3d(blobs["conv1_w"])
     bn("conv1_spatbn_relu", "init_bn")
 
+    block_type = R21D_SPECS[num_layers][0]
     comp = 0
     for stage, num_blocks in enumerate(layers, start=1):
         for block in range(1, num_blocks + 1):
             d = f"stage{stage}_block{block}"
-            for j, conv_name in ((1, "conv1"), (2, "conv2")):
-                src = f"comp_{comp}_conv_{j}"
-                out[f"{prefix}{d}/{conv_name}/spatial/kernel"] = _conv3d(
-                    blobs[src + "_middle_w"]
-                )
-                bn(f"comp_{comp}_spatbn_{j}_middle", f"{d}/{conv_name}/bn")
-                out[f"{prefix}{d}/{conv_name}/temporal/kernel"] = _conv3d(
-                    blobs[src + "_w"]
-                )
-                bn(f"comp_{comp}_spatbn_{j}", f"{d}/bn{j}")
+            if block_type == "basic":
+                # both convs are factorized (BasicBlock21D: two Conv21D)
+                for j, conv_name in ((1, "conv1"), (2, "conv2")):
+                    src = f"comp_{comp}_conv_{j}"
+                    out[f"{prefix}{d}/{conv_name}/spatial/kernel"] = _conv3d(
+                        blobs[src + "_middle_w"]
+                    )
+                    bn(f"comp_{comp}_spatbn_{j}_middle", f"{d}/{conv_name}/bn")
+                    out[f"{prefix}{d}/{conv_name}/temporal/kernel"] = _conv3d(
+                        blobs[src + "_w"]
+                    )
+                    bn(f"comp_{comp}_spatbn_{j}", f"{d}/bn{j}")
+            else:
+                # bottleneck (152): conv_1/conv_3 are plain 1×1×1, only the
+                # middle 3×3×3 is factorized (Bottleneck21D layout)
+                out[f"{prefix}{d}/conv1/kernel"] = _conv3d(
+                    blobs[f"comp_{comp}_conv_1_w"])
+                bn(f"comp_{comp}_spatbn_1", f"{d}/bn1")
+                out[f"{prefix}{d}/conv2/spatial/kernel"] = _conv3d(
+                    blobs[f"comp_{comp}_conv_2_middle_w"])
+                bn(f"comp_{comp}_spatbn_2_middle", f"{d}/conv2/bn")
+                out[f"{prefix}{d}/conv2/temporal/kernel"] = _conv3d(
+                    blobs[f"comp_{comp}_conv_2_w"])
+                bn(f"comp_{comp}_spatbn_2", f"{d}/bn2")
+                out[f"{prefix}{d}/conv3/kernel"] = _conv3d(
+                    blobs[f"comp_{comp}_conv_3_w"])
+                bn(f"comp_{comp}_spatbn_3", f"{d}/bn3")
             shortcut = f"shortcut_projection_{comp}_w"
             if shortcut in blobs:
                 out[f"{prefix}{d}/down/kernel"] = _conv3d(blobs[shortcut])

@@ -154,6 +154,69 @@ def test_converter_cli_r21d(tmp_path):
     assert "backbone/init/spatial/kernel" in rebase(flat, ["backbone"])
 
 
+def test_r21d_152_bottleneck_conversion_covers_every_param():
+    """The 152-layer bottleneck layout (conv_1/conv_3 plain, only the middle
+    factorized) maps completely — the reference converter handles 152 via its
+    rename table incl. stage1_block1's shortcut (utils.py:51-54)."""
+    from tennis_tpu.models.convert import convert_caffe2_r21d
+    from tennis_tpu.models.r21d import R21D, R21D_SPECS
+
+    net = R21D(num_layers=152, dtype=jnp.float32)
+    variables = jax.jit(net.init)(jax.random.PRNGKey(0),
+                                  jnp.ones((1, 4, 16, 16, 3)))
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+
+    # build a synthetic caffe2 blob dict by inverting the name/shape mapping
+    rng = np.random.default_rng(0)
+    blobs = {}
+
+    def inv3d(kern):  # flax DHWIO -> caffe2 OIDHW
+        return rng.normal(size=np.transpose(kern, (4, 3, 0, 1, 2)).shape
+                          ).astype(np.float32)
+
+    def inv_bn(tree_p, tree_s, src):
+        c = tree_p["scale"].shape
+        blobs[src + "_s"] = rng.normal(size=c).astype(np.float32)
+        blobs[src + "_b"] = rng.normal(size=c).astype(np.float32)
+        blobs[src + "_rm"] = rng.normal(size=c).astype(np.float32)
+        blobs[src + "_riv"] = rng.uniform(0.5, 2, size=c).astype(np.float32)
+
+    blobs["conv1_middle_w"] = inv3d(params["init"]["spatial"]["kernel"])
+    inv_bn(params["init"]["bn"], stats["init"]["bn"], "conv1_middle_spatbn_relu")
+    blobs["conv1_w"] = inv3d(params["init"]["temporal"]["kernel"])
+    inv_bn(params["init_bn"], stats["init_bn"], "conv1_spatbn_relu")
+
+    _, layers, _ = R21D_SPECS[152]
+    comp = 0
+    for stage, num_blocks in enumerate(layers, start=1):
+        for block in range(1, num_blocks + 1):
+            d = params[f"stage{stage}_block{block}"]
+            ds = stats[f"stage{stage}_block{block}"]
+            blobs[f"comp_{comp}_conv_1_w"] = inv3d(d["conv1"]["kernel"])
+            inv_bn(d["bn1"], ds["bn1"], f"comp_{comp}_spatbn_1")
+            blobs[f"comp_{comp}_conv_2_middle_w"] = inv3d(
+                d["conv2"]["spatial"]["kernel"])
+            inv_bn(d["conv2"]["bn"], ds["conv2"]["bn"],
+                   f"comp_{comp}_spatbn_2_middle")
+            blobs[f"comp_{comp}_conv_2_w"] = inv3d(d["conv2"]["temporal"]["kernel"])
+            inv_bn(d["bn2"], ds["bn2"], f"comp_{comp}_spatbn_2")
+            blobs[f"comp_{comp}_conv_3_w"] = inv3d(d["conv3"]["kernel"])
+            inv_bn(d["bn3"], ds["bn3"], f"comp_{comp}_spatbn_3")
+            if "down" in d:
+                blobs[f"shortcut_projection_{comp}_w"] = inv3d(d["down"]["kernel"])
+                inv_bn(d["down_bn"], ds["down_bn"],
+                       f"shortcut_projection_{comp}_spatbn")
+            comp += 1
+
+    flat = convert_caffe2_r21d(blobs, num_layers=152)
+    assert not unmatched_keys(params, stats, flat)
+    n_all = (len(jax.tree_util.tree_leaves(params))
+             + len(jax.tree_util.tree_leaves(stats)))
+    _, _, n = inject_npz(params, stats, flat)
+    assert n == n_all, f"covered {n} of {n_all}"
+
+
 def test_flow_runner_npz(tmp_path):
     from tennis_tpu.models.flownet import FlowNetS
     from tennis_tpu.models.flownet_run import FlowRunner
