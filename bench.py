@@ -96,11 +96,13 @@ def measure_train(jax, jnp):
     from tennis_tpu.parallel import (
         create_train_state, make_mesh, make_train_step, sgd_with_schedule,
     )
+    from tennis_tpu.parallel.mesh import tpu_compiler_options
     from tennis_tpu.parallel.sharding_rules import state_shardings
 
     from functools import partial
 
     mesh = make_mesh(num_data=1)
+    opts = tpu_compiler_options(mesh)
     tx, _ = sgd_with_schedule(0.001)
     rng = jax.random.PRNGKey(0)
 
@@ -115,10 +117,14 @@ def measure_train(jax, jnp):
             tx, {"train": True}, mesh=mesh,
         )
         sh_state = state_shardings(mesh, state)
+        # the step runs INSIDE train_n's jit; the wrapper carries the tuned
+        # compiler options (they are only legal on the top-level jit)
         step = make_train_step(model, mesh=mesh, preprocess=device_augment,
-                               rng_seed=7, state_sharding=sh_state)
+                               rng_seed=7, state_sharding=sh_state,
+                               compiler_options=None)
 
-        @partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
+        # traced n: one compile for both timing loop lengths
+        @partial(jax.jit, donate_argnums=(0,), compiler_options=opts)
         def train_n(state, images_u8, labels, n, step=step):
             def body(i, carry):
                 state, acc = carry
@@ -133,21 +139,24 @@ def measure_train(jax, jnp):
         images = jax.device_put(r.integers(
             0, 255, (batch, DATA_SHAPE, DATA_SHAPE, 3), dtype=np.uint8))
         labels = jax.device_put(r.integers(0, 11, (batch,), dtype=np.int32))
-        flops_step = _flops_of(step, state, images, labels)
-        _phase(f"train batch {batch} remat={remat}: cost analysis done")
+        # abstract handles for the post-timing cost analysis (timing donates the
+        # real state buffers; lowering needs only shapes/dtypes)
+        sds = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            (state, images, labels),
+        )
         try:
             def timed(n):
                 nonlocal state
                 tic = time.perf_counter()
-                state, acc = train_n(state, images, labels, n)
+                state, acc = train_n(state, images, labels, jnp.int32(n))
                 acc = float(acc)  # fetch = true barrier
                 assert np.isfinite(acc)
                 return time.perf_counter() - tic
 
-            timed(TRAIN_N_SHORT)  # compile both loop lengths
-            _phase(f"train batch {batch}: short-loop compile done")
+            timed(TRAIN_N_SHORT)  # the single compile
+            _phase(f"train batch {batch}: compile done")
             timed(TRAIN_N_LONG)
-            _phase(f"train batch {batch}: long-loop compile done")
             t_short = timed(TRAIN_N_SHORT)
             t_long = timed(TRAIN_N_LONG)
         except Exception as e:
@@ -156,6 +165,8 @@ def measure_train(jax, jnp):
             continue
         dt = max(t_long - t_short, 1e-9) / (TRAIN_N_LONG - TRAIN_N_SHORT)
         sps = batch / dt
+        flops_step = _flops_of(step, *sds)
+        _phase(f"train batch {batch} remat={remat}: cost analysis done")
         tflops = flops_step / dt / 1e12
         row = {
             "batch": batch,
@@ -265,7 +276,14 @@ def main():
 
     from functools import partial
 
-    @partial(jax.jit, static_argnames=("n",))
+    from tennis_tpu.parallel.mesh import tpu_compiler_options
+
+    opts = tpu_compiler_options()
+
+    # n is a TRACED scalar: ONE compile covers every loop length (the tuned
+    # compiler options roughly double compile time, so the cold-cache path
+    # matters — see the output contract in the module docstring)
+    @partial(jax.jit, compiler_options=opts)
     def extract_n(variables, images_u8, n):
         """n chained feature extractions; each iteration's input is perturbed by the
         loop counter so nothing hoists, and the scalar accumulator carries a data
@@ -280,26 +298,26 @@ def main():
 
     def timed(batch, n, images):
         tic = time.perf_counter()
-        acc = float(extract_n(variables, images, n))  # fetch = true barrier
+        # fetch = true barrier
+        acc = float(extract_n(variables, images, jnp.int32(n)))
         dt = time.perf_counter() - tic
         assert np.isfinite(acc)
         return dt
 
-    @jax.jit
+    @partial(jax.jit, compiler_options=opts)
     def extract_one(variables, images_u8):
         return model.apply(variables, device_prepare(images_u8), train=False)
 
-    best_fps, best_batch, best_flops = 0.0, 0, 0.0
+    best_fps, best_batch, best_images = 0.0, 0, None
     for batch in BATCH_CANDIDATES:
         images = jax.device_put(
             np.random.default_rng(0).integers(
                 0, 255, (batch, DATA_SHAPE, DATA_SHAPE, 3), dtype=np.uint8
             )
         )
-        flops_fwd = _flops_of(extract_one, variables, images)
         try:
-            timed(batch, N_SHORT, images)  # compile both loop lengths
-            timed(batch, N_LONG, images)
+            timed(batch, N_SHORT, images)  # the single compile
+            timed(batch, N_LONG, images)   # warm dispatch
             t_short = timed(batch, N_SHORT, images)
             t_long = timed(batch, N_LONG, images)
         except Exception as e:  # e.g. OOM at large batch
@@ -314,28 +332,75 @@ def main():
             file=sys.stderr,
         )
         if fps > best_fps:
-            best_fps, best_batch, best_flops = fps, batch, flops_fwd
+            best_fps, best_batch, best_images = fps, batch, images
 
-    infer_tflops = best_fps * (best_flops / max(best_batch, 1)) / 1e12
     result = {
         "metric": "frames/sec/chip (DenseNet121-512 feature extraction)",
         "value": round(best_fps, 1),
         "unit": "frames/sec",
         "vs_baseline": round(best_fps / MXNET_BASELINE_FPS, 2),
         "batch": best_batch,
-        "tflops": round(infer_tflops, 1),
-        "mfu": round(infer_tflops / V5E_PEAK_TFLOPS, 3),
+        "tflops": 0.0,
+        "mfu": 0.0,
         "train": None,
     }
-    # Flush the headline line NOW so a timeout in the train phase still leaves a
-    # parseable artifact (the driver takes the last JSON line on stdout).
+    # Flush the headline line NOW — before the cost-analysis compile — so a
+    # timeout leaves a parseable artifact (the driver takes the last JSON line).
     print(json.dumps(result), flush=True)
-    _phase("extraction result flushed; starting train phase")
+    _phase("extraction result flushed; computing cost analysis")
+
+    best_flops = (_flops_of(extract_one, variables, best_images)
+                  if best_images is not None else 0.0)
+    infer_tflops = best_fps * (best_flops / max(best_batch, 1)) / 1e12
+    result["tflops"] = round(infer_tflops, 1)
+    result["mfu"] = round(infer_tflops / V5E_PEAK_TFLOPS, 3)
+    print(json.dumps(result), flush=True)
+    _phase("extraction cost analysis done; starting train phase")
 
     train_row = measure_train(jax, jnp)
     if train_row is not None:
         result["train"] = train_row
         print(json.dumps(result), flush=True)
+    _phase("train phase done; static-unroll extraction refine")
+
+    # Optional refine: a STATIC trip count lets XLA pipeline across iterations
+    # (measured ~3.5% faster than the dynamic loop: 2389 vs 2308 fps) at the
+    # cost of one compile per loop length — run it LAST so a budget cut keeps
+    # every earlier line.
+    @partial(jax.jit, static_argnames=("n",), compiler_options=opts)
+    def extract_static(variables, images_u8, n):
+        def body(i, acc):
+            imgs = images_u8 + i.astype(jnp.uint8)
+            feats = model.apply(variables, device_prepare(imgs), train=False)
+            return acc + jnp.sum(feats.astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    try:
+        def timed_s(n):
+            tic = time.perf_counter()
+            acc = float(extract_static(variables, best_images, n))
+            assert np.isfinite(acc)
+            return time.perf_counter() - tic
+
+        timed_s(N_SHORT)
+        timed_s(N_LONG)
+        t_short, t_long = timed_s(N_SHORT), timed_s(N_LONG)
+        fps_s = best_batch * (N_LONG - N_SHORT) / max(t_long - t_short, 1e-9)
+        print(f"# static-unroll extraction: {fps_s:.1f} frames/sec",
+              file=sys.stderr, flush=True)
+        if fps_s > result["value"]:
+            scale = fps_s / max(result["value"], 1e-9)
+            result.update(
+                value=round(fps_s, 1),
+                vs_baseline=round(fps_s / MXNET_BASELINE_FPS, 2),
+                tflops=round(result["tflops"] * scale, 1),
+                mfu=round(result["mfu"] * scale, 3),
+            )
+            print(json.dumps(result), flush=True)
+    except Exception as e:
+        print(f"# static refine failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
     _phase("done")
 
 

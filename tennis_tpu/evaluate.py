@@ -124,7 +124,11 @@ def evaluate_model():
                                    loaders, mesh)
         return {}, {}, {}
 
-    @jax.jit
+    from functools import partial
+
+    from tennis_tpu.parallel.mesh import tpu_compiler_options
+
+    @partial(jax.jit, compiler_options=tpu_compiler_options(mesh))
     def eval_step(params, batch_stats, images):
         if images.dtype == jnp.uint8:
             flat = images.reshape((-1,) + images.shape[-3:])

@@ -17,6 +17,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
+# Tuned XLA backend options for TPU compilations of the big vision programs.
+# Raising the scoped-VMEM fusion budget from the default lets XLA build deeper
+# fusions over the DenseNet concat states: measured on v5e at 512² batch 128,
+# extraction 1915 → 2352 fps (+23%); 96 MiB measured slightly worse (2301), so
+# 64 MiB is the setting. TPU-only — other backends reject the flag.
+TPU_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+
+
+def tpu_compiler_options(mesh: Mesh | None = None):
+    """``compiler_options`` for ``jax.jit`` on TPU-device targets; None elsewhere
+    (CPU/GPU backends reject TPU-only flags)."""
+    try:
+        device = (mesh.devices.flat[0] if mesh is not None else jax.devices()[0])
+    except Exception:
+        return None
+    if "tpu" not in str(getattr(device, "platform", "")).lower() and \
+            "tpu" not in str(getattr(device, "device_kind", "")).lower():
+        return None
+    return dict(TPU_COMPILER_OPTIONS)
+
 
 def make_mesh(num_data: int | None = None, num_model: int = 1, devices=None) -> Mesh:
     """Build a (data, model) mesh. Defaults to all-devices pure DP."""

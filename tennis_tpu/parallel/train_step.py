@@ -21,7 +21,9 @@ from flax import struct
 from flax.core import FrozenDict
 
 from tennis_tpu.metrics.vision import confusion_matrix
-from tennis_tpu.parallel.mesh import batch_sharding, replicated
+from tennis_tpu.parallel.mesh import (
+    batch_sharding, replicated, tpu_compiler_options,
+)
 
 
 class TrainState(struct.PyTreeNode):
@@ -105,7 +107,7 @@ def softmax_ce(logits, labels):
 def make_train_step(model, mesh=None, num_classes: int | None = None,
                     loss_fn: Callable = softmax_ce,
                     preprocess: Callable | None = None, rng_seed: int = 0,
-                    state_sharding=None):
+                    state_sharding=None, compiler_options="auto"):
     """Build the jitted DP train step: (state, images, labels) → (state, loss[, cm]).
 
     With ``mesh``, inputs are expected batch-sharded and state replicated (or
@@ -139,17 +141,24 @@ def make_train_step(model, mesh=None, num_classes: int | None = None,
             return new_state, loss, logits, cm
         return new_state, loss, logits
 
+    # "auto" applies the tuned TPU options; pass None when the returned step is
+    # invoked INSIDE another jit (options are top-level-only — e.g. bench.py's
+    # fori-loop wrapper carries them itself)
+    opts = tpu_compiler_options(mesh) if compiler_options == "auto" \
+        else compiler_options
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0,))
+        return jax.jit(step, donate_argnums=(0,), compiler_options=opts)
     bs = batch_sharding(mesh)
     st = state_sharding if state_sharding is not None else replicated(mesh)
     # batch sharded on 'data'; output shardings inferred (the loss and confusion
     # matrix come back replicated — XLA inserts the all-reduces)
-    return jax.jit(step, donate_argnums=(0,), in_shardings=(st, bs, bs))
+    return jax.jit(step, donate_argnums=(0,), in_shardings=(st, bs, bs),
+                   compiler_options=opts)
 
 
 def make_eval_step(model, mesh=None, num_classes: int | None = None,
-                   preprocess: Callable | None = None, state_sharding=None):
+                   preprocess: Callable | None = None, state_sharding=None,
+                   compiler_options="auto"):
     """Jitted inference step: logits (+ optional per-batch confusion matrix).
 
     ``preprocess(images) -> images`` runs inside the jit (fused uint8→normalize).
@@ -166,18 +175,21 @@ def make_eval_step(model, mesh=None, num_classes: int | None = None,
         return logits, confusion_matrix(labels, logits, num_classes)
 
     step = forward if num_classes is None else forward_with_cm
+    opts = tpu_compiler_options(mesh) if compiler_options == "auto" \
+        else compiler_options
     if mesh is None:
-        return jax.jit(step)
+        return jax.jit(step, compiler_options=opts)
     bs, rep = batch_sharding(mesh), replicated(mesh)
     if state_sharding is not None:
         p_sh, bs_sh = state_sharding.params, state_sharding.batch_stats
     else:
         p_sh, bs_sh = rep, rep
     shardings = (p_sh, bs_sh, bs) if num_classes is None else (p_sh, bs_sh, bs, bs)
-    return jax.jit(step, in_shardings=shardings)
+    return jax.jit(step, in_shardings=shardings, compiler_options=opts)
 
 
-def make_seq2seq_train_step(model, opt, loss_fn, mesh=None):
+def make_seq2seq_train_step(model, opt, loss_fn, mesh=None,
+                            compiler_options="auto"):
     """Donating train step for the captioner (reference train_gnmt.py:319-337):
     ``(params, batch_stats, opt_state, src, tgt, src_vl, tgt_vl, seed)`` →
     ``(params, batch_stats, opt_state, loss)``.
@@ -206,8 +218,11 @@ def make_seq2seq_train_step(model, opt, loss_fn, mesh=None):
         updates, new_opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_bs, new_opt_state, loss
 
+    opts = tpu_compiler_options(mesh) if compiler_options == "auto" \
+        else compiler_options
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0, 1, 2))
+        return jax.jit(step, donate_argnums=(0, 1, 2), compiler_options=opts)
     bs, rep = batch_sharding(mesh), replicated(mesh)
     return jax.jit(step, donate_argnums=(0, 1, 2),
-                   in_shardings=(rep, rep, rep, bs, bs, bs, bs, rep))
+                   in_shardings=(rep, rep, rep, bs, bs, bs, bs, rep),
+                   compiler_options=opts)

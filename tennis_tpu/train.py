@@ -498,8 +498,11 @@ def _pooled_final_test(test_set, loader, mesh, bsharding, host_batch):
                      FLAGS.backbone_from_id)
 
     pool = FLAGS.temp_pool
+    from functools import partial
 
-    @jax.jit
+    from tennis_tpu.parallel.mesh import tpu_compiler_options
+
+    @partial(jax.jit, compiler_options=tpu_compiler_options(mesh))
     def pool_step(params, batch_stats, x):
         variables = {"params": params, "batch_stats": batch_stats}
         if feats:  # (B, T, F) precomputed feature windows
@@ -568,7 +571,11 @@ def save_features(model, state, datasets, loaders, mesh):
     from tennis_tpu.parallel import batch_sharding
     from tennis_tpu.parallel.distributed import fetch_local
 
-    @jax.jit
+    from functools import partial
+
+    from tennis_tpu.parallel.mesh import tpu_compiler_options
+
+    @partial(jax.jit, compiler_options=tpu_compiler_options(mesh))
     def feat_step(params, batch_stats, images):
         if images.dtype == jnp.uint8:
             images = device_prepare(images)
