@@ -128,7 +128,11 @@ def evaluate_model():
 
     from tennis_tpu.parallel.mesh import tpu_compiler_options
 
-    @partial(jax.jit, compiler_options=tpu_compiler_options(mesh))
+    # tuned options help DenseNet programs, hurt R(2+1)D (README ablation)
+    _opts = (None if FLAGS.backbone.lower() == "rdnet"
+             else tpu_compiler_options(mesh))
+
+    @partial(jax.jit, compiler_options=_opts)
     def eval_step(params, batch_stats, images):
         if images.dtype == jnp.uint8:
             flat = images.reshape((-1,) + images.shape[-3:])

@@ -323,12 +323,17 @@ def train_and_evaluate():
             return device_augment(images, key)
         return _prepare(images)
 
+    # the tuned scoped-VMEM budget helps DenseNet-family programs (+23%
+    # extraction) but measured -5% on R(2+1)D (see README ablation)
+    step_opts = None if FLAGS.backbone.lower() == "rdnet" else "auto"
     train_step = make_train_step(
         model, mesh=mesh, preprocess=train_preprocess,
         rng_seed=FLAGS.seed + 123, state_sharding=sh_state,
+        compiler_options=step_opts,
     )
     eval_step = make_eval_step(model, mesh=mesh, preprocess=_prepare,
-                               state_sharding=sh_state)
+                               state_sharding=sh_state,
+                               compiler_options=step_opts)
 
     from tennis_tpu.parallel.mesh import pad_batch
 
