@@ -91,6 +91,15 @@ class FixedBucketSampler:
             if ratio > 0 else batch_size
             for k in keys
         ]
+        # keep every FULL batch intact under batch_multiple: round the
+        # ratio-scaled per-bucket batch sizes DOWN to a multiple, so __iter__'s
+        # trim only ever touches the ragged tail (< batch_multiple samples
+        # dropped per bucket, as documented in PARITY.md D14)
+        bm = self.batch_multiple
+        if bm > 1:
+            self.bucket_batch_sizes = [
+                max(bm, bs - bs % bm) for bs in self.bucket_batch_sizes
+            ]
         self.buckets = [b for b in buckets if b]
         self.batch_sizes = [
             bs for b, bs in zip(buckets, self.bucket_batch_sizes) if b

@@ -168,3 +168,21 @@ def padded_batch(arrays: Sequence[np.ndarray], pad_value=0, axis: int = 0):
         pad[axis] = (0, max_len - a.shape[axis])
         out.append(np.pad(a, pad, constant_values=pad_value))
     return np.stack(out), lengths
+
+
+def global_keep_indices(stripe_off: int, n: int, host_batch: int, procs: int,
+                        n_total: int) -> np.ndarray:
+    """Row indices to keep from a process-major gathered eval batch.
+
+    The gathered array is ``procs`` stripes of ``host_batch`` rows; the first
+    ``n`` of each stripe are loader rows (the rest ``pad_batch`` padding), and
+    shard ``p``'s stripe element ``j`` is one of ``DataLoader._indices``'s
+    wrap-padded duplicates iff ``p + j*procs >= n_total`` — masking those makes
+    pod-mode metrics exactly equal to the single-host pass. ``stripe_off`` is
+    the running count of loader rows consumed from each stripe so far.
+    """
+    pos = stripe_off + np.arange(n)
+    return np.concatenate([
+        (p * host_batch + np.arange(n))[p + pos * procs < n_total]
+        for p in range(procs)
+    ])

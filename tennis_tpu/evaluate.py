@@ -64,6 +64,12 @@ def evaluate_model():
 
         if FLAGS.window <= 1:
             raise ValueError("--temp_pool max|mean needs --window > 1")
+        if FLAGS.save_feats:
+            raise ValueError(
+                "--save_feats cannot combine with --temp_pool max|mean: the "
+                "pooled wrap has no per-frame feature dump (dump from the "
+                "donor experiment instead)"
+            )
         model = FrameModel(get_backbone(FLAGS.backbone, dtype=_jnp.bfloat16),
                            test_set.num_class)
     else:
@@ -139,22 +145,24 @@ def evaluate_model():
             images = device_prepare(flat).reshape(images.shape)
         variables = {"params": params, "batch_stats": batch_stats}
         if pool_eval:
-            if feats:  # (B, T, F) precomputed feature windows
-                pooled = images
-            else:  # (B, T, H, W, C): per-frame backbone features
-                B, T = images.shape[:2]
-                pooled = model.apply(
-                    variables, images.reshape((B * T,) + images.shape[2:]),
-                    train=False, method=model.features,
-                ).reshape(B, T, -1)
-            pooled = (jnp.mean(pooled, axis=1) if FLAGS.temp_pool == "mean"
-                      else jnp.max(pooled, axis=1))
-            logits = model.apply(variables, pooled, method=model.head)
+            # the reference's TemporalPooling(num_classes=0) wrap: pool the
+            # donor's BACKBONE features over time, then its trained head —
+            # through the module, with the donor's bare FrameModel tree
+            # re-rooted under its 'model' submodule
+            from tennis_tpu.models import TemporalPooling
+
+            tp = TemporalPooling(model=model, pool=FLAGS.temp_pool,
+                                 feats=feats, wrap_head=True)
+            logits = tp.apply(
+                {"params": {"model": params},
+                 "batch_stats": {"model": batch_stats}},
+                images, train=False,
+            )
         else:
             logits = model.apply(variables, images, train=False)
         return jax.nn.softmax(logits, axis=-1)
 
-    from tennis_tpu.data.loader import prefetch_to_device
+    from tennis_tpu.data.loader import global_keep_indices, prefetch_to_device
     from tennis_tpu.parallel.mesh import pad_batch
 
     metrics = train_driver._metric_set(test_set.classes)
@@ -174,15 +182,9 @@ def evaluate_model():
         # one host fetch per batch (a collective under --multihost; every host
         # reaches it in lockstep thanks to equal loader stripes)
         probs_np, labels, idxs = fetch_global((probs, labels, idxs))
-        # rows are process-major stripes of host_batch; keep the first n of
-        # each stripe minus the loader's wrap-padded duplicates (exact rule:
-        # shard p element j duplicates iff p + j*procs >= n_total)
-        procs = probs_np.shape[0] // host_batch
-        pos = stripe_off + np.arange(n)
-        keep = np.concatenate([
-            (p * host_batch + np.arange(n))[p + pos * procs < n_total]
-            for p in range(procs)
-        ])
+        # process-major stripes, minus the loader's wrap-padded duplicates
+        keep = global_keep_indices(stripe_off, n, host_batch,
+                                   probs_np.shape[0] // host_batch, n_total)
         stripe_off += n
         probs_np, labels, idxs = probs_np[keep], labels[keep], idxs[keep]
         for m in metrics.values():

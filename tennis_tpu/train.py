@@ -193,7 +193,9 @@ def train_and_evaluate():
     import jax.numpy as jnp
     import optax
 
-    from tennis_tpu.data.loader import DataLoader, prefetch_to_device
+    from tennis_tpu.data.loader import (
+        DataLoader, global_keep_indices, prefetch_to_device,
+    )
     from tennis_tpu.data.transforms import device_augment, device_prepare
     from tennis_tpu.parallel.distributed import (
         fetch_global, fetch_local, host_batch_slice, initialize_multihost,
@@ -354,16 +356,10 @@ def train_and_evaluate():
             # host_batch each, with the first n of every stripe valid (equal
             # stripe lengths keep n identical across hosts).
             logits, labels = fetch_global((logits, labels))
-            procs = logits.shape[0] // host_batch
-            # drop the loader's wrap-padded duplicates exactly: shard p's
-            # stripe element j sits at padded-permutation position p + j*procs,
-            # a duplicate iff >= n_total (data/loader.py _indices) — pod-mode
-            # metrics equal the single-host pass
-            pos = stripe_off + np.arange(n)
-            keep = np.concatenate([
-                (p * host_batch + np.arange(n))[p + pos * procs < n_total]
-                for p in range(procs)
-            ])
+            # drop the loader's wrap-padded duplicates exactly — pod-mode
+            # metrics equal the single-host pass (data/loader.py rule)
+            keep = global_keep_indices(stripe_off, n, host_batch,
+                                       logits.shape[0] // host_batch, n_total)
             stripe_off += n
             logits, labels = logits[keep], labels[keep]
             for m in metrics.values():
@@ -460,7 +456,7 @@ def _pooled_final_test(test_set, loader, mesh, bsharding, host_batch):
     import jax
     import jax.numpy as jnp
 
-    from tennis_tpu.data.loader import prefetch_to_device
+    from tennis_tpu.data.loader import global_keep_indices, prefetch_to_device
     from tennis_tpu.data.transforms import device_prepare
     from tennis_tpu.models import FrameModel, get_backbone
     from tennis_tpu.parallel import create_train_state, sgd_with_schedule
@@ -507,23 +503,25 @@ def _pooled_final_test(test_set, loader, mesh, bsharding, host_batch):
 
     from tennis_tpu.parallel.mesh import tpu_compiler_options
 
-    @partial(jax.jit, compiler_options=tpu_compiler_options(mesh))
+    # tuned options are DenseNet-scoped (README ablation: -5% on R(2+1)D)
+    _opts = (None if FLAGS.backbone.lower() == "rdnet"
+             else tpu_compiler_options(mesh))
+
+    # the reference's TemporalPooling(num_classes=0) wrap, through the module
+    # (pool the donor's backbone features over time, then its trained head)
+    from tennis_tpu.models import TemporalPooling
+
+    tp = TemporalPooling(model=inner, pool=pool, feats=feats, wrap_head=True)
+
+    @partial(jax.jit, compiler_options=_opts)
     def pool_step(params, batch_stats, x):
-        variables = {"params": params, "batch_stats": batch_stats}
-        if feats:  # (B, T, F) precomputed feature windows
-            pooled = x
-        else:  # (B, T, H, W, C) uint8 clips
-            if x.dtype == jnp.uint8:
-                flat = x.reshape((-1,) + x.shape[-3:])
-                x = device_prepare(flat).reshape(x.shape)
-            B, T = x.shape[:2]
-            pooled = inner.apply(
-                variables, x.reshape((B * T,) + x.shape[2:]), train=False,
-                method=inner.features,
-            ).reshape(B, T, -1)
-        pooled = (jnp.mean(pooled, axis=1) if pool == "mean"
-                  else jnp.max(pooled, axis=1))
-        return inner.apply(variables, pooled, method=inner.head)
+        if not feats and x.dtype == jnp.uint8:  # (B, T, H, W, C) uint8 clips
+            flat = x.reshape((-1,) + x.shape[-3:])
+            x = device_prepare(flat).reshape(x.shape)
+        return tp.apply(
+            {"params": {"model": params}, "batch_stats": {"model": batch_stats}},
+            x, train=False,
+        )
 
     metrics = _metric_set(test_set.classes)
     tic = time.time()
@@ -536,14 +534,9 @@ def _pooled_final_test(test_set, loader, mesh, bsharding, host_batch):
     for (images, labels, _), n in prefetch_to_device(padded(), bsharding):
         logits = pool_step(state.params, state.batch_stats, images)
         logits, labels = fetch_global((logits, labels))
-        procs = logits.shape[0] // host_batch
-        # process-major stripes, minus wrap-padded duplicates (same exact rule
-        # as run_eval)
-        pos = stripe_off + np.arange(n)
-        keep = np.concatenate([
-            (p * host_batch + np.arange(n))[p + pos * procs < len(test_set)]
-            for p in range(procs)
-        ])
+        # process-major stripes, minus wrap-padded duplicates (run_eval's rule)
+        keep = global_keep_indices(stripe_off, n, host_batch,
+                                   logits.shape[0] // host_batch, len(test_set))
         stripe_off += n
         logits, labels = logits[keep], labels[keep]
         for m in metrics.values():
@@ -580,7 +573,11 @@ def save_features(model, state, datasets, loaders, mesh):
 
     from tennis_tpu.parallel.mesh import tpu_compiler_options
 
-    @partial(jax.jit, compiler_options=tpu_compiler_options(mesh))
+    # tuned options are DenseNet-scoped (README ablation: -5% on R(2+1)D)
+    _opts = (None if FLAGS.backbone.lower() == "rdnet"
+             else tpu_compiler_options(mesh))
+
+    @partial(jax.jit, compiler_options=_opts)
     def feat_step(params, batch_stats, images):
         if images.dtype == jnp.uint8:
             images = device_prepare(images)

@@ -215,6 +215,11 @@ def train(argv=None):
     # train_gnmt.py:149-151 builds the CNN from the pretrained zoo); a
     # backbone_from_id transplant below overrides it, like the reference's
     # load_parameters after construction
+    if FLAGS.pretrained_npz and FLAGS.feats_model is not None:
+        raise ValueError(
+            "--pretrained_npz needs the pixels path; --feats_model consumes "
+            "precomputed features and has no CNN src_embed to initialize"
+        )
     if FLAGS.feats_model is None and FLAGS.pretrained_npz:
         from tennis_tpu.models.convert import inject_npz, rebase
 

@@ -80,6 +80,39 @@ def test_temporal_pooling_mean():
     np.testing.assert_allclose(np.asarray(y), 1.0, rtol=1e-6)
 
 
+def test_temporal_pooling_wrap_head():
+    """wrap_head = the reference's TemporalPooling(num_classes=0) mode: pool
+    the wrapped FrameModel's BACKBONE features over time, then its own trained
+    head (definitions.py:52-55) — the drivers' temp-pool final-test path."""
+    from tennis_tpu.models import get_backbone
+
+    inner = FrameModel(get_backbone("resnet18_v2", dtype=jnp.float32), 11,
+                       dtype=jnp.float32)
+    v = jax.jit(inner.init)(RNG, jnp.ones((1, 32, 32, 3)))
+    x = jax.random.normal(RNG, (2, 3, 32, 32, 3))
+
+    tp = TemporalPooling(model=inner, pool="max", wrap_head=True)
+    # the drivers re-root the donor's bare FrameModel tree under 'model'
+    out = tp.apply({"params": {"model": v["params"]},
+                    "batch_stats": {"model": v["batch_stats"]}}, x, train=False)
+    B, T = x.shape[:2]
+    f = inner.apply(v, x.reshape((B * T,) + x.shape[2:]), train=False,
+                    method=inner.features).reshape(B, T, -1)
+    want = inner.apply(v, jnp.max(f, axis=1), method=inner.head)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)
+    # mean differs from pooling LOGITS only for max; mean matches (linear head)
+    tp_mean = TemporalPooling(model=inner, pool="mean", feats=True,
+                              wrap_head=True)
+    feats = jax.random.normal(RNG, (2, 4, 512))
+    out_f = tp_mean.apply({"params": {"model": v["params"]},
+                           "batch_stats": {"model": v["batch_stats"]}}, feats,
+                          train=False)
+    want_f = inner.apply(v, jnp.mean(feats, axis=1), method=inner.head)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(want_f),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_cnnrnn_feats_mode():
     net = CNNRNN(model=None, num_classes=11, hidden_size=16, dtype=jnp.float32)
     x = jax.random.normal(RNG, (2, 7, 32))

@@ -242,6 +242,18 @@ def test_bucket_sampler_batch_multiple():
     assert any(len(b) % 4 for b in s1)
     assert len(list(s1)) == len(s1)
 
+    # ratio-scaled bucket batch sizes round DOWN to the multiple so FULL
+    # batches are never trimmed: at most batch_multiple-1 samples (the ragged
+    # tail) may drop per bucket
+    s2 = FixedBucketSampler(list(range(1, 38)), batch_size=4, num_buckets=3,
+                            ratio=0.5, batch_multiple=3)
+    batches = list(s2)
+    assert all(len(b) % 3 == 0 for b in batches)
+    assert len(batches) == len(s2)
+    n_buckets = len(s2.buckets)
+    dropped = 37 - sum(len(b) for b in batches)
+    assert dropped <= (3 - 1) * n_buckets, dropped
+
 
 def test_pod_mesh_single_process_and_host_slice():
     from tennis_tpu.parallel.distributed import host_batch_slice, make_pod_mesh
