@@ -81,6 +81,35 @@ def test_train_temp_pool_final_test(env):
     assert not [f for f in os.listdir(exp) if f.endswith(".params")]
 
 
+def test_evaluate_temp_pool_wrap(env):
+    """evaluate.py --temp_pool mean: donor checkpoint (--feats_model exp),
+    features pooled over the window through the donor's own head (reference
+    evaluate.py:224-244). Depends on the t1 experiment + features."""
+    root, workdir = env
+    from absl import app, flags
+
+    from tennis_tpu import evaluate as evaluate_driver
+
+    flags.FLAGS.unparse_flags()
+    argv = [
+        "evaluate.py", f"--root={root}", "--model_id=tp2",
+        "--backbone=resnet18_v2", "--data_shape=32", "--batch_size=8",
+        "--temp_pool=mean", "--window=4", "--feats_model=t1",
+        "--num_workers=2",
+    ]
+    results = {}
+    def run(_argv):
+        r, g, m = evaluate_driver.evaluate_model()
+        results.update(r=r, g=g, m=m)
+    try:
+        app.run(run, argv=argv)
+    except SystemExit:
+        pass
+    assert len(results["r"]) > 0
+    prf1 = results["m"]["prf1"].get_dict()
+    assert 0.0 <= prf1["AVG_NB_f1"] <= 1.0
+
+
 def test_evaluate_vision_driver(env):
     """evaluate.py: best-epoch load, metric suite, results dict, --vis overlay
     (reference evaluate.py:78-270). Depends on the t1 experiment trained above."""
