@@ -7,6 +7,7 @@ from tennis_tpu.models.frame import (
     CNNRNN,
     TwoStreamModel,
     TimeDistributed,
+    Debug,
 )
 
 __all__ = [
@@ -17,4 +18,5 @@ __all__ = [
     "CNNRNN",
     "TwoStreamModel",
     "TimeDistributed",
+    "Debug",
 ]

@@ -116,6 +116,20 @@ class TemporalPooling(nn.Module):
         return x.astype(jnp.float32)
 
 
+class Debug(nn.Module):
+    """Tiny conv+relu model for debugging wrappers (reference
+    definitions.py:113-124); the reference's own smoke test drives it through
+    TimeDistributed with an L2 loss (definitions.py:156-168) — mirrored in
+    tests/test_models.py."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.relu(nn.Conv(4, (2, 2), padding="VALID", dtype=self.dtype,
+                               name="conv1")(x))
+
+
 class CNNRNN(nn.Module):
     """Time-distributed backbone → bidirectional GRU/LSTM → temporal max → Dense.
 

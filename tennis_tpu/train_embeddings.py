@@ -22,6 +22,8 @@ from collections import Counter
 import numpy as np
 from absl import flags, logging
 
+from tennis_tpu.utils import print_time
+
 FLAGS = flags.FlagValues()
 flags.DEFINE_string("root", "data", "dataset root", flag_values=FLAGS)
 flags.DEFINE_bool("add_extra", True, "include the extra captions corpus",
@@ -128,8 +130,11 @@ def train(argv=None):
     B = FLAGS.batch_size
     key = jax.random.PRNGKey(FLAGS.seed + 1)
     for epoch in range(1, FLAGS.epochs + 1):
-        centers, contexts = center_context_pairs(coded, FLAGS.window,
-                                                 seed=FLAGS.seed + epoch)
+        # reference wraps its batch prep in print_time('prepare subwords')
+        # (utils/embeddings/data.py:97); same timing surface here
+        with print_time(f"prepare pairs (epoch {epoch})"):
+            centers, contexts = center_context_pairs(coded, FLAGS.window,
+                                                     seed=FLAGS.seed + epoch)
         perm = np.random.default_rng(FLAGS.seed + epoch).permutation(len(centers))
         centers, contexts = centers[perm], contexts[perm]
         n_batches = len(centers) // B

@@ -5,6 +5,7 @@ import pytest
 
 from tennis_tpu.models import (
     CNNRNN,
+    Debug,
     FrameModel,
     TemporalPooling,
     TwoStreamModel,
@@ -146,3 +147,40 @@ def test_two_stream_flow_only():
     x = jnp.ones((1, 32, 32, 6))
     variables = net.init(RNG, x)
     assert net.apply(variables, x).shape == (1, 11)
+
+
+def test_debug_through_time_distributed():
+    """The reference's own smoke: TimeDistributed(Debug) forward + backward with
+    an L2 loss on a ones tensor (reference definitions.py:156-168; input there
+    is NCHW (3,2,3,2,2) → here NHWC (3,2,2,2,3), output (3,2,1,1,4))."""
+    from tennis_tpu.models import TimeDistributed
+
+    td = TimeDistributed(Debug())
+    x = jnp.ones((3, 2, 2, 2, 3))
+    variables = td.init(RNG, x)
+    out = td.apply(variables, x)
+    assert out.shape == (3, 2, 1, 1, 4)
+    assert bool(jnp.all(out >= 0))  # relu output
+
+    def loss_fn(params):
+        y = td.apply({"params": params}, x)
+        return 0.5 * jnp.mean(jnp.sum((y - 1.0) ** 2, axis=(2, 3, 4)))
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    gnorm = sum(float(jnp.sum(jnp.abs(g)))
+                for g in jax.tree_util.tree_leaves(grads))
+    assert gnorm > 0.0
+
+
+def test_print_time_logs(caplog):
+    import logging as pylogging
+
+    from tennis_tpu.utils import print_time
+
+    with caplog.at_level(pylogging.INFO):
+        with print_time("do a thing"):
+            pass
+    text = caplog.text
+    assert "Starting to do a thing" in text
+    assert "Finished to do a thing in" in text
