@@ -224,11 +224,16 @@ class NMTModel(nn.Module):
         return self.tgt_proj(outputs)
 
 
-def masked_ce_loss(logits, labels, valid_length, average: str = "padded"):
+def masked_ce_loss(logits, labels, valid_length, average: str = "padded",
+                   sample_weights=None):
     """gluonnlp ``MaskedSoftmaxCELoss`` semantics (reference train_gnmt.py:31,332-334):
     per-step CE masked past ``valid_length``; per-sample mean over the **padded**
     length (gluon's batch-axis-excluded mean), then mean over the batch.
-    ``average='valid'`` divides by the true lengths instead."""
+    ``average='valid'`` divides by the true lengths instead. ``sample_weights``
+    (B,) replaces the batch mean with a weighted mean — zero-weight rows drop
+    out exactly, which is how sharded eval masks batch rows padded up to the
+    device count (the mesh-eval analogue of the pooled final test's wrap
+    masking)."""
     import optax
 
     ce = optax.softmax_cross_entropy_with_integer_labels(
@@ -241,6 +246,9 @@ def masked_ce_loss(logits, labels, valid_length, average: str = "padded"):
         per_sample = ce.sum(axis=1) / T
     else:
         per_sample = ce.sum(axis=1) / jnp.maximum(valid_length.astype(jnp.float32), 1)
+    if sample_weights is not None:
+        w = sample_weights.astype(jnp.float32)
+        return (per_sample * w).sum() / jnp.maximum(w.sum(), 1.0)
     return per_sample.mean()
 
 

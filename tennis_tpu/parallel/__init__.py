@@ -1,6 +1,8 @@
 """Parallelism: device mesh, sharding rules, jitted train/eval step harness."""
 
-from tennis_tpu.parallel.mesh import make_mesh, batch_sharding, replicated
+from tennis_tpu.parallel.mesh import (
+    make_mesh, batch_sharding, replicated, pad_batch,
+)
 from tennis_tpu.parallel.train_step import (
     TrainState,
     create_train_state,
@@ -14,6 +16,7 @@ __all__ = [
     "make_mesh",
     "batch_sharding",
     "replicated",
+    "pad_batch",
     "TrainState",
     "create_train_state",
     "make_train_step",

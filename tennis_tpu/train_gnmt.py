@@ -200,7 +200,15 @@ def train(argv=None):
     }
 
     # sample shapes from the first train batch
-    first = next(iter(loaders["train"]))
+    try:
+        first = next(iter(loaders["train"]))
+    except StopIteration:
+        raise SystemExit(
+            "train loader produced zero batches: with --num_devices > 1 each "
+            "bucket trims ragged tails to multiples of the device count "
+            "(deviation D14) — lower --num_buckets or --batch_size, or add "
+            "training captions"
+        ) from None
     src0, tgt0 = first[0], first[1]
 
     rng = jax.random.PRNGKey(FLAGS.seed)
@@ -296,47 +304,73 @@ def train(argv=None):
 
     train_step = make_seq2seq_train_step(model, opt, masked_ce_loss, mesh=mesh)
 
-    @jax.jit
-    def eval_loss_step(params, batch_stats, src, tgt, src_vl, tgt_vl):
+    def _eval_loss_step(params, batch_stats, src, tgt, src_vl, tgt_vl, row_w):
         logits = model.apply({"params": params, "batch_stats": batch_stats},
                              src, tgt[:, :-1], src_vl, tgt_vl - 1)
-        return masked_ce_loss(logits, tgt[:, 1:], tgt_vl - 1)
+        return masked_ce_loss(logits, tgt[:, 1:], tgt_vl - 1,
+                              sample_weights=row_w)
 
+    if mesh is None:
+        eval_loss_step = jax.jit(_eval_loss_step)
+    else:
+        from tennis_tpu.parallel import batch_sharding, replicated
+
+        _r, _b = replicated(mesh), batch_sharding(mesh)
+        eval_loss_step = jax.jit(
+            _eval_loss_step, in_shardings=(_r, _r, _b, _b, _b, _b, _b))
+
+    # with --num_devices > 1 the per-epoch beam eval decodes on the SAME mesh
+    # as training: batch rows shard over 'data', params stay the replicated
+    # mesh arrays (no per-epoch host fetch), ragged bucket tails pad up to the
+    # device count with zero-weight loss rows. The reference's eval is
+    # single-device eager (train_gnmt.py:126-129, utils/translation.py:55-82).
     translator = BeamSearchTranslator(
         model, bos_id=vocab[vocab.bos_token], eos_id=vocab[vocab.eos_token],
         beam_size=FLAGS.beam_size, alpha=FLAGS.lp_alpha, K=FLAGS.lp_k,
-        max_length=FLAGS.tgt_max_len + 20,
+        max_length=FLAGS.tgt_max_len + 20, mesh=mesh,
     )
     logging.info("beam_size=%d alpha=%.2f K=%d", FLAGS.beam_size, FLAGS.lp_alpha,
                  FLAGS.lp_k)
 
     from tennis_tpu.data.loader import prefetch_to_device
 
+    n_data = mesh.shape["data"] if mesh is not None else 1
+    eval_sharding = None
+    if mesh is not None:
+        from tennis_tpu.parallel import batch_sharding as _bs
+
+        eval_sharding = _bs(mesh)
+
     def evaluate(split, tgt_sentences):
-        # beam eval is single-host; under a DP mesh the params are replicated
-        # mesh arrays, so fetch one host copy per eval (once per epoch) rather
-        # than mixing device sets inside the single-device eval jits
         eval_params, eval_stats = params, batch_stats
-        if mesh is not None:
-            eval_params, eval_stats = jax.device_get((params, batch_stats))
 
         def batches():
-            # indices stay host-side (list leaves pass through prefetch)
+            # indices stay host-side (list leaves pass through prefetch);
+            # under a mesh every batch pads to a multiple of the data axis so
+            # the sharded transfer is legal, with zero weight on pad rows
             for src, tgt, src_vl, tgt_vl, idxs in iter(loaders[split]):
-                yield (src, tgt, src_vl, tgt_vl), idxs.tolist()
+                n = len(idxs)
+                if n % n_data:
+                    from tennis_tpu.parallel import pad_batch
+
+                    (src, tgt, src_vl, tgt_vl), _ = pad_batch(
+                        (src, tgt, src_vl, tgt_vl), n_data)
+                w = (np.arange(src.shape[0]) < n).astype(np.float32)
+                yield (src, tgt, src_vl, tgt_vl, w), idxs.tolist()
 
         losses, hyps, order = [], [], []
         # transfers overlap the beam decodes of the previous batch
-        for (src, tgt, src_vl, tgt_vl), idxs in prefetch_to_device(batches()):
+        for (src, tgt, src_vl, tgt_vl, w), idxs in prefetch_to_device(
+                batches(), eval_sharding):
             # keep the loss on device; one batched fetch after the loop
             losses.append(eval_loss_step(
-                eval_params, eval_stats, src, tgt, src_vl, tgt_vl
+                eval_params, eval_stats, src, tgt, src_vl, tgt_vl, w
             ))
             toks = translator.translate_tokens(
                 {"params": eval_params, "batch_stats": eval_stats}, src, src_vl,
                 vocab,
             )
-            hyps.extend(toks)
+            hyps.extend(toks[:len(idxs)])
             order.extend(idxs)
         losses = [float(l) for l in jax.device_get(losses)]
         # restore dataset order (buckets permute samples)

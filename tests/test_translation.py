@@ -89,3 +89,43 @@ def test_source_valid_length_masks_encoder(trained):
     assert not np.array_equal(full[0], short[0]) or not np.array_equal(
         full[1], short[1]
     )
+
+
+def test_translate_mesh_matches_single_device(trained):
+    """Mesh-sharded beam decode (batch over the data axis, ragged batch padded
+    up to the axis size) must reproduce the single-device decode exactly —
+    same program, GSPMD-partitioned."""
+    from tennis_tpu.parallel import make_mesh
+
+    model, variables, src, caps, vl = trained
+    # ragged: B=3 over 4 data-axis devices → pads to 4, slices back to 3
+    src3 = jnp.concatenate([src, src[:1]], axis=0)
+    vl3 = jnp.array([6, 6, 6])
+
+    single = BeamSearchTranslator(model, bos_id=2, eos_id=3, beam_size=4,
+                                  max_length=10)
+    want = single.translate(variables, src3, vl3)
+
+    mesh = make_mesh(num_data=4, devices=jax.devices()[:4])
+    sharded = BeamSearchTranslator(model, bos_id=2, eos_id=3, beam_size=4,
+                                   max_length=10, mesh=mesh)
+    got = sharded.translate(variables, src3, vl3)
+    assert 4 in sharded._jitted  # compiled at the padded batch size
+    np.testing.assert_array_equal(got[0], want[0])       # samples
+    np.testing.assert_allclose(got[1], want[1], rtol=1e-5, atol=1e-6)  # scores
+    np.testing.assert_array_equal(got[2], want[2])       # valid lengths
+
+
+def test_masked_ce_sample_weights(trained):
+    """Zero-weight rows drop out exactly: loss over [real; padded] rows with
+    weights [1,1,0] equals the unweighted loss over the real rows."""
+    model, variables, src, caps, vl = trained
+    logits = model.apply(variables, src, caps[:, :-1])
+    base = float(masked_ce_loss(logits, caps[:, 1:], vl - 1))
+    logits3 = jnp.concatenate([logits, logits[:1]], axis=0)
+    caps3 = jnp.concatenate([caps, caps[:1]], axis=0)
+    vl3 = jnp.concatenate([vl, vl[:1]])
+    w = jnp.array([1.0, 1.0, 0.0])
+    weighted = float(masked_ce_loss(logits3, caps3[:, 1:], vl3 - 1,
+                                    sample_weights=w))
+    np.testing.assert_allclose(weighted, base, rtol=1e-6)
