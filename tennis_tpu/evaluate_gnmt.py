@@ -71,26 +71,45 @@ def evaluate(argv=None):
         batch_stats = restored["batch_stats"]
         logging.info("loaded %s", best_path)
 
+        # --num_devices > 1 shards the beam decode over a data-axis mesh
+        # (same translator path as train_gnmt's per-epoch eval; the reference
+        # evaluator is single-device, evaluate_gnmt.py:95-98)
+        num_data = max(FLAGS.num_devices, 1)
+        mesh = None
+        eval_sharding = None
+        if num_data > 1:
+            from tennis_tpu.parallel import batch_sharding, make_mesh
+
+            mesh = make_mesh(num_data=num_data,
+                             devices=jax.devices()[:num_data])
+            eval_sharding = batch_sharding(mesh)
+
         translator = BeamSearchTranslator(
             model, bos_id=vocab[vocab.bos_token], eos_id=vocab[vocab.eos_token],
             beam_size=FLAGS.beam_size, alpha=FLAGS.lp_alpha, K=FLAGS.lp_k,
-            max_length=FLAGS.tgt_max_len + 20,
+            max_length=FLAGS.tgt_max_len + 20, mesh=mesh,
         )
         from tennis_tpu.data.loader import prefetch_to_device
 
         def batches():
             # only (src, src_vl) go to device; indices stay host-side (list
-            # leaves pass through prefetch untouched — no round trip back)
+            # leaves pass through prefetch untouched — no round trip back).
+            # Under a mesh, ragged tails pad up to the device count so the
+            # sharded transfer is legal; the pad rows are sliced off below.
             for src, _tgt, src_vl, _tgt_vl, idxs in iter(loader):
+                if mesh is not None and len(idxs) % num_data:
+                    from tennis_tpu.parallel import pad_batch
+
+                    (src, src_vl), _ = pad_batch((src, src_vl), num_data)
                 yield (src, src_vl), idxs.tolist()
 
         hyps, order = [], []
         # transfers overlap the previous batch's beam decode
-        for (src, src_vl), idxs in prefetch_to_device(batches()):
+        for (src, src_vl), idxs in prefetch_to_device(batches(), eval_sharding):
             hyps.extend(translator.translate_tokens(
                 {"params": params, "batch_stats": batch_stats}, src, src_vl,
                 vocab,
-            ))
+            )[:len(idxs)])
             order.extend(idxs)
         ordered = [None] * len(hyps)
         for pos, ds_idx in enumerate(order):

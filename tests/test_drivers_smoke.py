@@ -179,6 +179,17 @@ def test_train_gnmt_cycle(env):
     assert set(suite) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR",
                           "ROUGE_L", "CIDEr"}
 
+    # --num_devices 4: the sharded beam decode (ragged tails padded over the
+    # virtual mesh) must reproduce the single-device predictions exactly
+    single = open(os.path.join(exp, "best_test_out.txt")).read()
+    suite4 = eval_main([
+        "evaluate_gnmt.py", f"--root={root}", "--model_id=g1", "--feats_model=tf",
+        "--num_hidden=16", "--emb_size=8", "--num_buckets=2", "--tgt_max_len=10",
+        "--test_batch_size=4", "--emb_file=", "--num_devices=4", "--force",
+    ])
+    assert open(os.path.join(exp, "best_test_out.txt")).read() == single
+    assert suite4 == suite
+
 
 def test_train_gnmt_num_devices(env):
     """train_gnmt --num_devices 8: bucketed batches shard over the virtual
