@@ -157,8 +157,9 @@ def measure_train(jax, jnp):
             timed(TRAIN_N_SHORT)  # the single compile
             _phase(f"train batch {batch}: compile done")
             timed(TRAIN_N_LONG)
-            t_short = timed(TRAIN_N_SHORT)
-            t_long = timed(TRAIN_N_LONG)
+            # min of two reps per length (see the extraction timing note)
+            t_short = min(timed(TRAIN_N_SHORT), timed(TRAIN_N_SHORT))
+            t_long = min(timed(TRAIN_N_LONG), timed(TRAIN_N_LONG))
         except Exception as e:
             print(f"# train batch {batch} failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
@@ -318,8 +319,14 @@ def main():
         try:
             timed(batch, N_SHORT, images)  # the single compile
             timed(batch, N_LONG, images)   # warm dispatch
-            t_short = timed(batch, N_SHORT, images)
-            t_long = timed(batch, N_LONG, images)
+            # two reps, min per loop length: dispatch jitter is additive, so
+            # the min is the clean estimate — a single noisy t_short shrinks
+            # the difference and can inflate fps by >50% (observed once in a
+            # flag ablation: a phantom 3998 fps that two reps dispelled)
+            t_short = min(timed(batch, N_SHORT, images),
+                          timed(batch, N_SHORT, images))
+            t_long = min(timed(batch, N_LONG, images),
+                         timed(batch, N_LONG, images))
         except Exception as e:  # e.g. OOM at large batch
             print(f"# batch {batch} failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
@@ -385,7 +392,8 @@ def main():
 
         timed_s(N_SHORT)
         timed_s(N_LONG)
-        t_short, t_long = timed_s(N_SHORT), timed_s(N_LONG)
+        t_short = min(timed_s(N_SHORT), timed_s(N_SHORT))
+        t_long = min(timed_s(N_LONG), timed_s(N_LONG))
         fps_s = best_batch * (N_LONG - N_SHORT) / max(t_long - t_short, 1e-9)
         print(f"# static-unroll extraction: {fps_s:.1f} frames/sec",
               file=sys.stderr, flush=True)
