@@ -54,7 +54,13 @@ def evaluate(argv=None):
             FLAGS.bucket_scheme, FLAGS.bucket_ratio, shuffle=False,
             num_workers=FLAGS.num_workers, pad_multiple=8,
         )
-        first = next(iter(loader))
+        try:
+            first = next(iter(loader))
+        except StopIteration:
+            raise SystemExit(
+                "test loader produced zero batches — no test captions under "
+                f"--root, or bucketing consumed them all"
+            ) from None
         rng = jax.random.PRNGKey(0)
         variables = jax.jit(model.init)(
             rng, jnp.asarray(first[0][:1]), jnp.asarray(first[1][:1, :-1])
@@ -78,11 +84,16 @@ def evaluate(argv=None):
         mesh = None
         eval_sharding = None
         if num_data > 1:
-            from tennis_tpu.parallel import batch_sharding, make_mesh
+            from tennis_tpu.parallel import (batch_sharding, make_mesh,
+                                             replicated)
 
             mesh = make_mesh(num_data=num_data,
                              devices=jax.devices()[:num_data])
             eval_sharding = batch_sharding(mesh)
+            # place the checkpointed host params on the mesh ONCE — otherwise
+            # every translate call re-uploads the whole tree to every device
+            params, batch_stats = jax.device_put(
+                (params, batch_stats), replicated(mesh))
 
         translator = BeamSearchTranslator(
             model, bos_id=vocab[vocab.bos_token], eos_id=vocab[vocab.eos_token],

@@ -120,7 +120,7 @@ class Debug(nn.Module):
     """Tiny conv+relu model for debugging wrappers (reference
     definitions.py:113-124); the reference's own smoke test drives it through
     TimeDistributed with an L2 loss (definitions.py:156-168) — mirrored in
-    tests/test_models.py."""
+    tests/test_models_vision.py."""
 
     dtype: Any = jnp.float32
 

@@ -335,11 +335,7 @@ def train(argv=None):
     from tennis_tpu.data.loader import prefetch_to_device
 
     n_data = mesh.shape["data"] if mesh is not None else 1
-    eval_sharding = None
-    if mesh is not None:
-        from tennis_tpu.parallel import batch_sharding as _bs
-
-        eval_sharding = _bs(mesh)
+    eval_sharding = None if mesh is None else _b
 
     def evaluate(split, tgt_sentences):
         eval_params, eval_stats = params, batch_stats
