@@ -10,7 +10,7 @@ from fixtures import build_fixture
 @pytest.fixture(scope="module")
 def env(tmp_path_factory):
     workdir = tmp_path_factory.mktemp("exp")
-    root = build_fixture(tmp_path_factory.mktemp("ds"))
+    root = build_fixture(tmp_path_factory.mktemp("ds"), with_flow=True)
     old = os.getcwd()
     os.chdir(workdir)  # experiment dirs are cwd-relative
     yield str(root), str(workdir)
@@ -249,3 +249,53 @@ def test_train_gnmt_pixels_path(env):
     got_leaves = jax.tree_util.tree_leaves(jax.device_get(params["src_embed"]))
     assert len(donor_leaves) == len(got_leaves)
     assert all(np.allclose(a, b) for a, b in zip(donor_leaves, got_leaves))
+
+
+def test_train_two_stream_driver(env):
+    """--flow twos: 6-channel RGB+flow input through TwoStreamModel — the
+    0010-row driver path (reference train.py:200-208)."""
+    root, workdir = env
+    from absl import app, flags
+
+    from tennis_tpu import train as train_driver
+
+    flags.FLAGS.unparse_flags()
+    argv = [
+        "train.py", f"--root={root}", "--model_id=ts1",
+        "--backbone=resnet18_v2", "--flow=twos", "--data_shape=32",
+        "--batch_size=8", "--epochs=1", "--max_batches=2",
+        "--log_interval=5", "--num_workers=2",
+    ]
+    try:
+        app.run(train_driver.main, argv=argv)
+    except SystemExit:
+        pass
+    exp = os.path.join(workdir, "models", "vision", "experiments", "ts1")
+    assert os.path.exists(os.path.join(exp, "0000.params"))
+    assert os.path.exists(os.path.join(exp, "scores.txt"))
+
+
+def test_train_rdnet_driver(env):
+    """--backbone rdnet --window 8: R(2+1)D-34 clips through the driver — the
+    0031-row path (reference train.py:236-241; window must be 8 or 32)."""
+    root, workdir = env
+    from absl import app, flags
+
+    from tennis_tpu import train as train_driver
+
+    flags.FLAGS.unparse_flags()
+    argv = [
+        # single-device mesh: SPMD-partitioning the 3D convs over the 8
+        # virtual CPU devices dominates compile time at these tiny shapes
+        "train.py", f"--root={root}", "--model_id=rd1", "--backbone=rdnet",
+        "--window=8", "--data_shape=32", "--batch_size=4", "--epochs=1",
+        "--max_batches=2", "--log_interval=5", "--num_workers=2",
+        "--num_devices=1",
+    ]
+    try:
+        app.run(train_driver.main, argv=argv)
+    except SystemExit:
+        pass
+    exp = os.path.join(workdir, "models", "vision", "experiments", "rd1")
+    assert os.path.exists(os.path.join(exp, "0000.params"))
+    assert os.path.exists(os.path.join(exp, "scores.txt"))
