@@ -7,6 +7,11 @@ Mirrors the reference's published experiment chain (models/README.md):
   4. evaluate with the overlay video
   5. train word embeddings                     (train_embeddings.py)
   6. train + evaluate the captioner on feats   (reference model 0102)
+  7. two-stream RGB+flow classifier            (reference model 0010)
+  8. R(2+1)D clip classifier                   (reference model 0031)
+
+Stages 7-8 need flow images under <root>/flow (data/process.py generates
+them); they are skipped with a notice when the flow dir is missing.
 
 Usage: ``python examples/full_pipeline.py --root <dataset root> [--small]``
 (--small uses tiny shapes/epochs for smoke-testing on CPU).
@@ -83,6 +88,23 @@ def run(root: str, small: bool = False):
     evaluate_gnmt(["evaluate_gnmt", f"--root={root}", "--model_id=0102",
                    "--feats_model=0006", "--emb_file=embeddings.txt", "--force"]
                   + cap)
+
+    import os
+    if os.path.isdir(os.path.join(root, "flow")):
+        print("== 7. two-stream RGB+flow classifier (0010)")
+        run_app(train_driver.main,
+                ["train", f"--root={root}", "--model_id=0010", "--flow=twos"]
+                + vision)
+    else:
+        print(f"== 7. SKIPPED two-stream (no {root}/flow — run "
+              "data/process.py first)")
+
+    print("== 8. R(2+1)D clip classifier (0031)")
+    rd = ["--backbone=rdnet", "--window=8"] + [
+        a for a in vision if not a.startswith("--backbone")
+    ] + (["--num_devices=1"] if small else [])
+    run_app(train_driver.main,
+            ["train", f"--root={root}", "--model_id=0031"] + rd)
     print("== pipeline complete")
 
 

@@ -135,6 +135,12 @@ def make_train_step(model, mesh=None, num_classes: int | None = None,
         (loss, (logits, new_bs)), grads = jax.value_and_grad(
             compute_loss, has_aux=True
         )(state.params)
+        # stat-less models (e.g. feats-mode CNNRNN): flax returns the absent
+        # collection as an empty plain dict, which would swap the state's
+        # empty-FrozenDict node type and break the in_shardings prefix match
+        # on the NEXT step — keep the input batch_stats object instead
+        if not jax.tree_util.tree_leaves(new_bs):
+            new_bs = None
         new_state = state.apply_gradients(grads, new_bs)
         if num_classes is not None:
             cm = confusion_matrix(labels, logits, num_classes)

@@ -299,3 +299,30 @@ def test_train_rdnet_driver(env):
     exp = os.path.join(workdir, "models", "vision", "experiments", "rd1")
     assert os.path.exists(os.path.join(exp, "0000.params"))
     assert os.path.exists(os.path.join(exp, "scores.txt"))
+
+
+def test_train_cnnrnn_on_features_driver(env):
+    """Train CNN-RNN on dumped features through train.py — the 0042-row config
+    (reference train.py:210-215 feats path). Regression: the stat-less model's
+    empty batch_stats must stay type-stable across steps (flax returns the
+    absent collection as a plain dict, which used to break the sharding prefix
+    match on step 2). Depends on the t1 feature dump from the cycle test."""
+    root, workdir = env
+    from absl import app, flags
+
+    from tennis_tpu import train as train_driver
+
+    flags.FLAGS.unparse_flags()
+    argv = [
+        "train.py", f"--root={root}", "--model_id=cr1",
+        "--backbone=resnet18_v2", "--feats_model=t1", "--temp_pool=gru",
+        "--window=4", "--data_shape=32", "--batch_size=8", "--epochs=1",
+        "--max_batches=3", "--log_interval=5", "--num_workers=2",
+    ]
+    try:
+        app.run(train_driver.main, argv=argv)
+    except SystemExit:
+        pass
+    exp = os.path.join(workdir, "models", "vision", "experiments", "cr1")
+    assert os.path.exists(os.path.join(exp, "0000.params"))
+    assert os.path.exists(os.path.join(exp, "scores.txt"))
