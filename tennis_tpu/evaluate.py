@@ -23,6 +23,10 @@ from tennis_tpu.data.tennis_set import get_image_path
 
 FLAGS = flags.FLAGS
 
+flags.DEFINE_string("split", "test",
+                    "the split to evaluate on: train, val, or test "
+                    "(reference evaluate.py:40-41)")
+
 
 def evaluate_model():
     import jax
@@ -47,7 +51,9 @@ def evaluate_model():
     exp_dir = experiment_dir("vision", FLAGS.model_id)
     setup_logging(exp_dir, {k: FLAGS[k].value for k in FLAGS})
 
-    _, _, test_set = train_driver.make_datasets()
+    # --split picks the evaluated split with test-time settings; the variable
+    # keeps the reference's "test_set" name (reference evaluate.py:107)
+    test_set = train_driver.make_eval_dataset(FLAGS.split)
     logging.info(test_set)
 
     feats = bool(FLAGS.feats_model)
@@ -115,19 +121,11 @@ def evaluate_model():
 
     if FLAGS.save_feats:  # feature dump from the best epoch (reference
         # evaluate.py:186-204,306-321)
-        train_set, val_set, _ = train_driver.make_datasets()
-        loaders = {
-            split: DataLoader(
-                ds, batch_size=host_batch, shuffle=False,
-                num_workers=FLAGS.num_workers if FLAGS.num_workers > 0 else 8,
-                num_shards=jax.process_count(), shard_id=jax.process_index(),
-                transform=None if feats else train_driver._geometry_transform(False),
-            )
-            for split, ds in (("train", train_set), ("val", val_set),
-                              ("test", test_set))
-        }
-        train_driver.save_features(model, state, [train_set, val_set, test_set],
-                                   loaders, mesh)
+        # the reference dumps ONLY the --split dataset here (evaluate.py:209-211
+        # zips the single test_data/test_set pair); run once per split to cover
+        # all three — train.py --save_feats remains the all-splits dump
+        loaders = {FLAGS.split: loader}
+        train_driver.save_features(model, state, [test_set], loaders, mesh)
         return {}, {}, {}
 
     from functools import partial

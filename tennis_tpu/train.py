@@ -157,11 +157,27 @@ def make_datasets():
     train_set = TennisSet(split="train", every=every[0], balance=balance_train,
                           balance_seed=FLAGS.seed, decode_short=train_decode,
                           **common)
-    val_set = TennisSet(split="val", every=every[1], balance=False,
-                        decode_short=decode_short, **common)
-    test_set = TennisSet(split="test", every=every[2], balance=False,
-                         decode_short=decode_short, **common)
+    val_set = make_eval_dataset("val", every_n=every[1])
+    test_set = make_eval_dataset("test")
     return train_set, val_set, test_set
+
+
+def make_eval_dataset(split: str, every_n: int | None = None):
+    """One split with test-time settings — no balancing, bounded-DCT decode,
+    ``every[2]`` subsampling unless overridden (reference evaluate.py:40-41,107:
+    ``--split`` picks the evaluated split but always uses the test-split
+    ``every`` and transform)."""
+    from tennis_tpu.data import TennisSet
+
+    every = [int(s) for s in FLAGS.every]
+    return TennisSet(
+        split=split, every=every[2] if every_n is None else every_n,
+        balance=False, decode_short=FLAGS.data_shape + 32,
+        root=FLAGS.root, split_id=FLAGS.split_id, padding=FLAGS.padding,
+        stride=FLAGS.stride, window=FLAGS.window, model_id=FLAGS.model_id,
+        flow=bool(FLAGS.flow), feats_model=FLAGS.feats_model or None,
+        save_feats=FLAGS.save_feats,
+    )
 
 
 def _geometry_transform(train: bool):
@@ -593,7 +609,8 @@ def save_features(model, state, datasets, loaders, mesh):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         np.save(path, feat)
 
-    for split, ds in zip(("train", "val", "test"), datasets):
+    for ds in datasets:
+        split = ds._split
         loader = loaders[split]
         count = 0
 

@@ -49,6 +49,8 @@ flags.DEFINE_float("clip", 5.0, "gradient clip", flag_values=FLAGS)
 flags.DEFINE_integer("log_interval", 100, "log every N batches", flag_values=FLAGS)
 flags.DEFINE_integer("num_devices", -1, "devices (num_gpus analogue)",
                      flag_values=FLAGS)
+flags.DEFINE_alias("num_gpus", "num_devices",
+                   flag_values=FLAGS)  # reference CLI compatibility
 flags.DEFINE_string("backbone", "DenseNet121", "CNN backbone (pixels path)",
                     flag_values=FLAGS)
 flags.DEFINE_string("backbone_from_id", None, "backbone weights source exp id",

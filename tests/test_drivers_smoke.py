@@ -140,6 +140,75 @@ def test_evaluate_vision_driver(env):
     exp = os.path.join(workdir, "models", "vision", "experiments", "t1")
     assert os.path.exists(os.path.join(exp, "results.mp4"))
 
+    # --split val evaluates the validation split with test-time settings
+    # (reference evaluate.py:40-41,107)
+    flags.FLAGS.unparse_flags()
+    argv_val = [
+        "evaluate.py", f"--root={root}", "--model_id=t1",
+        "--backbone=resnet18_v2", "--data_shape=32", "--batch_size=8",
+        "--num_workers=2", "--split=val",
+    ]
+    val_results = {}
+    def run_val(_argv):
+        r, g, m = evaluate_driver.evaluate_model()
+        val_results.update(r=r, g=g, m=m)
+    try:
+        app.run(run_val, argv=argv_val)
+    except SystemExit:
+        pass
+    assert len(val_results["r"]) > 0
+    # a different split evaluates different frames
+    assert set(val_results["r"]) != set(results["r"])
+
+
+def test_evaluate_save_feats_dumps_split_only(env):
+    """evaluate.py --save_feats dumps ONLY the --split dataset (reference
+    evaluate.py:209-211 zips the single test_data/test_set pair), unlike
+    train.py --save_feats which dumps all three. Depends on the t1 experiment
+    + features from the cycle test: the val-split files are deleted and must
+    be restored. (On this fixture the ±255 save_feats extension makes every
+    split's dump cover whole videos, so "val only" is asserted on the dataset
+    list handed to save_features, not on file sets.)"""
+    root, workdir = env
+    from absl import app, flags
+
+    from tennis_tpu import evaluate as evaluate_driver
+    from tennis_tpu import train as train_driver
+    from tennis_tpu.data import TennisSet
+
+    val_set = TennisSet(root=root, split="val", split_id="02", balance=False,
+                        model_id="t1", save_feats=True)
+    val_paths = {val_set.save_feature_path(i) for i in range(len(val_set))}
+    assert val_paths, "fixture val split is empty"
+    for p in val_paths:
+        if os.path.exists(p):
+            os.remove(p)
+
+    dumped_splits = []
+    real_save_features = train_driver.save_features
+
+    def spy(model, state, datasets, loaders, mesh):
+        dumped_splits.extend(ds._split for ds in datasets)
+        return real_save_features(model, state, datasets, loaders, mesh)
+
+    flags.FLAGS.unparse_flags()
+    argv = [
+        "evaluate.py", f"--root={root}", "--model_id=t1",
+        "--backbone=resnet18_v2", "--data_shape=32", "--batch_size=8",
+        "--num_workers=2", "--split=val", "--save_feats",
+    ]
+    train_driver.save_features = spy
+    try:
+        app.run(evaluate_driver.main, argv=argv)
+    except SystemExit:
+        pass
+    finally:
+        train_driver.save_features = real_save_features
+
+    assert dumped_splits == ["val"]
+    missing = [p for p in val_paths if not os.path.exists(p)]
+    assert not missing, f"val features not restored: {missing[:3]}"
+
 
 def test_train_gnmt_cycle(env):
     root, workdir = env
