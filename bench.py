@@ -31,7 +31,12 @@ phase; if the train phase completes in time, a second, richer JSON line (same
 headline fields plus the "train" row) supersedes it. Candidates are pruned to the
 measured winners from round 2 (extraction batch 128 beat 256: 1927 vs 1833 fps;
 train (128, "block") beat (96, None): 334 vs 278 samples/sec) so the whole run
-fits the budget even from a cold compilation cache.
+fits the budget even from a cold compilation cache. Measured warm-cache end to
+end: rc=0 in ~535 s. The persistent cache DOES hit across processes (verified
+with jax_explain_cache_misses: a warm run writes nothing new) — the residual
+~190 s extraction / ~230 s train lead time is tracing + MLIR lowering of the
+fori_loop programs and executable upload over the tunnel, none of which the
+cache covers.
 """
 from __future__ import annotations
 
@@ -88,9 +93,14 @@ def _flops_of(jitted, *args) -> float:
         return 0.0
 
 
-def measure_train(jax, jnp):
+def measure_train(jax, jnp, publish=None):
     """Full training step (augment → DenseNet121 fwd/bwd → SGD update) through the
-    production harness; returns the best row over batch candidates."""
+    production harness; returns the best row over batch candidates.
+
+    ``publish(row)`` is called as soon as each candidate's TIMING lands — before
+    the ~60 s cost-analysis lowering — so a budget cut after the timed loops
+    still leaves an artifact carrying samples/sec (tflops/mfu arrive in the
+    superseding line)."""
     from tennis_tpu.data.transforms import device_augment
     from tennis_tpu.models import FrameModel, get_backbone
     from tennis_tpu.parallel import (
@@ -166,6 +176,13 @@ def measure_train(jax, jnp):
             continue
         dt = max(t_long - t_short, 1e-9) / (TRAIN_N_LONG - TRAIN_N_SHORT)
         sps = batch / dt
+        if publish is not None:
+            publish({
+                "batch": batch, "remat": remat,
+                "ms_per_step": round(dt * 1e3, 1),
+                "samples_per_sec": round(sps, 1),
+                "tflops": 0.0, "mfu": 0.0,
+            })
         flops_step = _flops_of(step, *sds)
         _phase(f"train batch {batch} remat={remat}: cost analysis done")
         tflops = flops_step / dt / 1e12
@@ -364,7 +381,11 @@ def main():
     print(json.dumps(result), flush=True)
     _phase("extraction cost analysis done; starting train phase")
 
-    train_row = measure_train(jax, jnp)
+    def publish_train(row):
+        result["train"] = row
+        print(json.dumps(result), flush=True)
+
+    train_row = measure_train(jax, jnp, publish=publish_train)
     if train_row is not None:
         result["train"] = train_row
         print(json.dumps(result), flush=True)
