@@ -228,24 +228,37 @@ def loader_bench():
             cv2.imwrite(p, noisy, [cv2.IMWRITE_JPEG_QUALITY, 90])
         paths.append(p)
 
+    # pre-resized 544 cache of the same sources (data/frame_cache.py): the
+    # steady-state production read when --frames_cache is built
+    from tennis_tpu.data.frame_cache import resize_encode_one
+
+    cache_root = os.path.join(root, "s544")
+    os.makedirs(cache_root, exist_ok=True)
+    cached_paths = []
+    for p in paths:
+        cp = os.path.join(cache_root, os.path.basename(p))
+        resize_encode_one(p, cp, 544)
+        cached_paths.append(cp)
+
     class JpegDataset:
-        def __init__(self, native: bool):
+        def __init__(self, native: bool, files=paths):
             self.native = native
+            self.files = files
 
         def __len__(self):
             return 4096
 
         def __getitem__(self, i):
-            p = paths[i % len(paths)]
+            p = self.files[i % len(self.files)]
             if self.native:
                 img = _read_image_rgb(p, 544)
             else:
                 img = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
             return T.test_geometry(img, 512), np.int32(0), np.int32(i)
 
-    def run(native: bool, n_target=768):
+    def run(native: bool, n_target=768, files=paths):
         workers = os.cpu_count() or 8
-        dl = DataLoader(JpegDataset(native), batch_size=64,
+        dl = DataLoader(JpegDataset(native, files), batch_size=64,
                         num_workers=workers)
         it = iter(dl)
         next(it)  # warm (spawns workers, touches page cache)
@@ -258,6 +271,7 @@ def loader_bench():
 
     fps_cv2 = run(native=False)
     fps_native = run(native=True) if HAVE_NATIVE_JPEG else 0.0
+    fps_cached = run(native=HAVE_NATIVE_JPEG, files=cached_paths)
     cores = os.cpu_count() or 1
     result = {
         "metric": "host decode+geometry (720p JPEG -> 512^2, all cores)",
@@ -267,7 +281,9 @@ def loader_bench():
         "cores": cores,
         "fps_cv2": round(fps_cv2, 1),
         "fps_native": round(fps_native, 1),
+        "fps_cached_544": round(fps_cached, 1),
         "ms_per_frame_per_core": round(cores * 1e3 / max(fps_native, fps_cv2, 1e-9), 2),
+        "ms_per_frame_per_core_cached": round(cores * 1e3 / max(fps_cached, 1e-9), 2),
     }
     print(json.dumps(result))
 

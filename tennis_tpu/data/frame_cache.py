@@ -1,0 +1,128 @@
+"""One-time pre-resized frame cache (no reference counterpart).
+
+The reference decodes the full-resolution 720p JPEG of every frame on every
+epoch (reference train.py:132-147 feeds Resize(data_shape+32)+crop straight
+from the raw frames tree; dataset.py:219-227 does the read). After the native
+decoder, host JPEG decode is still the end-to-end bottleneck of the rebuilt
+pipeline (~6.3 ms/frame/core, README) — and ~55% of the decoded pixels are
+thrown away by the very first Resize. This tool resizes the frames tree ONCE
+to that resize target (short side ``data_shape + 32``), so every subsequent
+epoch decodes only the pixels it keeps.
+
+The cache is an opt-in speed/fidelity trade (one JPEG re-encode at
+``quality`` plus the resample moving from load time to build time; PARITY.md
+D16) consumed via ``TennisSet(frames_cache=S)`` / driver ``--frames_cache S``.
+Reads fall back to the original tree per file, so a partial cache is safe.
+
+Build (same chunked process fan-out as frame extraction,
+tennis_tpu.data.video):
+
+    python -m tennis_tpu.data.frame_cache --root data --short 544
+"""
+from __future__ import annotations
+
+import os
+import shutil
+from concurrent.futures import ProcessPoolExecutor, as_completed
+
+
+def cache_dir(root: str, short: int) -> str:
+    """``<root>/frames_s<short>`` — the cache mirror of ``<root>/frames``."""
+    return os.path.join(root, f"frames_s{short}")
+
+
+def resize_encode_one(src: str, dst: str, short: int, quality: int = 95) -> bool:
+    """Write ``dst`` as ``src`` resized to short side ``short``; returns whether
+    a write happened. Fresh destinations (mtime >= source's) are skipped.
+    Sources already at or below the target short side are copied verbatim —
+    no pointless re-encode generation loss."""
+    if os.path.exists(dst) and os.path.getmtime(dst) >= os.path.getmtime(src):
+        return False
+    import cv2
+
+    from tennis_tpu.data.tennis_set import _read_image_rgb
+    from tennis_tpu.data.transforms import resize_shorter
+
+    img = _read_image_rgb(src, min_short=short)  # DCT prescale where >= 2x
+    if min(img.shape[:2]) <= short:
+        shutil.copyfile(src, dst)
+        return True
+    img = resize_shorter(img, short)
+    ok = cv2.imwrite(dst, cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+                     [cv2.IMWRITE_JPEG_QUALITY, quality])
+    if not ok:
+        raise IOError(f"failed to write {dst}")
+    return True
+
+
+def _build_chunk(src_chunk: str, dst_chunk: str, short: int, quality: int):
+    os.makedirs(dst_chunk, exist_ok=True)
+    written = skipped = 0
+    for name in sorted(os.listdir(src_chunk)):
+        if not name.endswith(".jpg"):
+            continue
+        if resize_encode_one(os.path.join(src_chunk, name),
+                             os.path.join(dst_chunk, name), short, quality):
+            written += 1
+        else:
+            skipped += 1
+    return written, skipped
+
+
+def build_frame_cache(root: str, short: int, quality: int = 95,
+                      workers: int | None = None) -> tuple[int, int]:
+    """Mirror ``<root>/frames`` into :func:`cache_dir` at short side ``short``.
+
+    One process-pool task per chunk directory (the extraction fan-out shape,
+    reference utils/video.py:139-145); re-runs are incremental — only stale or
+    missing destinations are rewritten. Returns (written, skipped)."""
+    src_root = os.path.join(root, "frames")
+    dst_root = cache_dir(root, short)
+    if not os.path.isdir(src_root):
+        raise FileNotFoundError(f"no frames tree at {src_root}")
+
+    chunks = []
+    for video in sorted(os.listdir(src_root)):
+        vdir = os.path.join(src_root, video)
+        if not os.path.isdir(vdir):
+            continue
+        for chunk in sorted(os.listdir(vdir)):
+            cdir = os.path.join(vdir, chunk)
+            if os.path.isdir(cdir):
+                chunks.append((cdir, os.path.join(dst_root, video, chunk)))
+
+    written = skipped = 0
+    workers = workers or os.cpu_count() or 8
+    with ProcessPoolExecutor(max_workers=workers) as pool:
+        futures = [pool.submit(_build_chunk, s, d, short, quality)
+                   for s, d in chunks]
+        for f in as_completed(futures):
+            w, s = f.result()
+            written += w
+            skipped += s
+    return written, skipped
+
+
+def main(_argv=None):
+    import sys
+
+    from absl import flags
+
+    fv = flags.FlagValues()
+    flags.DEFINE_string("root", "data", "dataset root", flag_values=fv)
+    flags.DEFINE_integer("short", 544, "cache short side (data_shape + 32)",
+                         flag_values=fv)
+    flags.DEFINE_integer("quality", 95, "JPEG re-encode quality", flag_values=fv)
+    flags.DEFINE_integer("workers", 0, "process-pool size (0 = all cores)",
+                         flag_values=fv)
+    fv(["frame_cache"] + list(sys.argv[1:] if _argv is None else _argv))
+
+    written, skipped = build_frame_cache(
+        fv.root, fv.short, quality=fv.quality, workers=fv.workers or None
+    )
+    print(f"frame cache {cache_dir(fv.root, fv.short)}: "
+          f"{written} written, {skipped} up to date")
+
+
+if __name__ == "__main__":
+    main()

@@ -110,12 +110,21 @@ class TennisSet:
         balance_seed: int = 0,
         extract_missing: bool = False,
         decode_short: int | None = None,
+        frames_cache: int | None = None,
     ):
         self._root = root
         # decode JPEGs no smaller than this short side (drivers pass
         # data_shape+32, the test-geometry input size): ≥2× oversized sources
         # decode at a cheap DCT scale instead of full size
         self._decode_short = decode_short
+        # pre-resized frames mirror (data/frame_cache.py): per-file fallback to
+        # the original tree, and OFF for the 6-channel path — the flow concat's
+        # 8-row crop needs the on-disk pixel relationship (see _load_frame)
+        self._frames_cache_dir = None
+        if frames_cache and not flow:
+            from tennis_tpu.data.frame_cache import cache_dir
+
+            self._frames_cache_dir = cache_dir(root, int(frames_cache))
         self._captions = captions
         self._split = split
         self._balance = balance
@@ -331,8 +340,12 @@ class TennisSet:
         # RGB/flow concat assume the on-disk pixel relationship, which a DCT
         # decode scale would break
         min_short = None if self._flow else self._decode_short
-        img = _read_image_rgb(get_image_path(self._frames_dir, video, frame),
-                              min_short)
+        path = get_image_path(self._frames_dir, video, frame)
+        if self._frames_cache_dir is not None:
+            cached = get_image_path(self._frames_cache_dir, video, frame)
+            if os.path.exists(cached):
+                path = cached
+        img = _read_image_rgb(path, min_short)
         if self._flow:
             flw = _read_image_rgb(get_image_path(self._flow_dir, video, frame))
             # flow images are 4×-upscaled from quarter-res inference and 16 px shorter;

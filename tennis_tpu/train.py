@@ -58,6 +58,12 @@ flags.DEFINE_integer("max_batches", -1, "Limit batches per epoch (debug)")
 flags.DEFINE_string("pretrained_npz", None,
                     "Optional converted pretrained backbone weights (.npz)")
 flags.DEFINE_integer("seed", 0, "Global RNG seed")
+flags.DEFINE_integer("frames_cache", 0,
+                     "Read frames from the pre-resized data/frames_s<N> mirror "
+                     "(short side N, typically data_shape+32; build once with "
+                     "python -m tennis_tpu.data.frame_cache). 0 reads the "
+                     "original tree; missing cache files fall back per file. "
+                     "No effect on --flow paths (full-res concat).")
 flags.DEFINE_integer("profile_steps", 0,
                      "Capture a jax.profiler trace of this many train steps into "
                      "<exp_dir>/tb/profile (view with xprof/tensorboard)")
@@ -144,7 +150,7 @@ def make_datasets():
         root=FLAGS.root, split_id=FLAGS.split_id, padding=FLAGS.padding,
         stride=FLAGS.stride, window=FLAGS.window, model_id=FLAGS.model_id,
         flow=bool(FLAGS.flow), feats_model=FLAGS.feats_model or None,
-        save_feats=FLAGS.save_feats,
+        save_feats=FLAGS.save_feats, frames_cache=FLAGS.frames_cache or None,
     )
     # eval-path decodes may use a bounded DCT scale (tennis_set._read_image_rgb);
     # the train split keeps full-res decode while RandomResizedCrop applies
@@ -176,7 +182,7 @@ def make_eval_dataset(split: str, every_n: int | None = None):
         root=FLAGS.root, split_id=FLAGS.split_id, padding=FLAGS.padding,
         stride=FLAGS.stride, window=FLAGS.window, model_id=FLAGS.model_id,
         flow=bool(FLAGS.flow), feats_model=FLAGS.feats_model or None,
-        save_feats=FLAGS.save_feats,
+        save_feats=FLAGS.save_feats, frames_cache=FLAGS.frames_cache or None,
     )
 
 
