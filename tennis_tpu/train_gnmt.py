@@ -64,6 +64,10 @@ flags.DEFINE_string("emb_file", "embeddings-ex.txt",
                     "word-embedding file from train_embeddings.py",
                     flag_values=FLAGS)
 flags.DEFINE_integer("num_workers", 8, "loader threads", flag_values=FLAGS)
+flags.DEFINE_integer("frames_cache", 0,
+                     "pixels path: read the pre-resized data/frames_s<N> "
+                     "mirror (tennis_tpu.data.frame_cache); 0 = original tree",
+                     flag_values=FLAGS)
 flags.DEFINE_integer("seed", 100, "rng seed (reference seeds 100/10000)",
                      flag_values=FLAGS)
 flags.DEFINE_integer("max_batches", -1, "debug batch limit", flag_values=FLAGS)
@@ -119,7 +123,8 @@ def make_datasets():
         test_transform = lambda img: T.test_geometry(img, FLAGS.data_shape)
 
     common = dict(root=FLAGS.root, captions=True, every=FLAGS.every,
-                  feats_model=FLAGS.feats_model or None)
+                  feats_model=FLAGS.feats_model or None,
+                  frames_cache=FLAGS.frames_cache or None)
     # eval decodes may use a bounded DCT scale; train keeps full-res for
     # RandomResizedCrop parity (see tennis_tpu/train.py make_datasets)
     decode_short = FLAGS.data_shape + 32
