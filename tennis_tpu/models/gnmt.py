@@ -165,6 +165,15 @@ class NMTModel(nn.Module):
     ``src_embed`` is any module mapping raw source steps to vectors: the
     TimeDistributed CNN backbone for pixels (train_gnmt.py:149-170) or None for
     precomputed features (identity, train_gnmt.py:188-194).
+
+    ``mem_sharding`` (an optional ``NamedSharding`` over (batch, time, units))
+    turns the attention memory sequence-parallel: the encoder output — the
+    largest live activation for long points, hundreds of frames per source —
+    is constrained to shard its TIME axis across the mesh, and GSPMD partitions
+    every per-step attention (scores, masked softmax, context) with the
+    matching collectives. The reference has no counterpart (single-GPU,
+    gluonnlp Python decode); SURVEY §5.7's plan made the time axis shardable
+    precisely so this is a sharding annotation, not a rewrite.
     """
 
     vocab_size: int
@@ -173,6 +182,7 @@ class NMTModel(nn.Module):
     embed_size: int = 100
     src_embed: Optional[nn.Module] = None
     dtype: Any = jnp.float32
+    mem_sharding: Any = None
 
     def setup(self):
         self.tgt_embed = nn.Embed(self.vocab_size, self.embed_size,
@@ -206,6 +216,14 @@ class NMTModel(nn.Module):
 
     def init_decoder_state(self, encoder_outputs, src_valid_length=None):
         mem_value, enc_states = encoder_outputs
+        if self.mem_sharding is not None:
+            # sequence-parallel attention memory: one constraint here covers
+            # BOTH consumers (teacher-forced decode_seq and the beam search's
+            # decode_step carry the memory in the decoder state)
+            import jax
+
+            mem_value = jax.lax.with_sharding_constraint(
+                mem_value, self.mem_sharding)
         return self.decoder.init_state(enc_states, mem_value, src_valid_length)
 
     def decode_step(self, step_tokens, states, train: bool = False):

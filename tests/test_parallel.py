@@ -228,6 +228,69 @@ def test_seq2seq_dp_matches_single_device():
     np.testing.assert_allclose(float(la), float(lb), rtol=2e-4)
 
 
+def test_seq2seq_sequence_parallel_memory_matches():
+    """mem_sharding shards the attention memory's TIME axis over the mesh's
+    model axis (sequence parallelism, SURVEY §5.7): GSPMD partitions every
+    per-step attention softmax/context with collectives, and BOTH the
+    teacher-forced forward and the beam decode must match the unsharded
+    numerics. The reference decodes single-GPU in Python — no counterpart."""
+    import optax
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tennis_tpu.models.gnmt import (
+        NMTModel, get_gnmt_encoder_decoder, masked_ce_loss,
+    )
+    from tennis_tpu.parallel import make_seq2seq_train_step
+    from tennis_tpu.translation import BeamSearchTranslator
+
+    mesh = make_mesh(num_data=2, num_model=4)
+
+    def build(mem_sharding=None):
+        enc, dec = get_gnmt_encoder_decoder(num_layers=2, num_bi_layers=1,
+                                            hidden_size=8, dropout=0.0)
+        return NMTModel(vocab_size=12, encoder=enc, decoder=dec, embed_size=6,
+                        mem_sharding=mem_sharding)
+
+    rng = jax.random.PRNGKey(0)
+    r = np.random.default_rng(0)
+    B, T = 4, 8  # T divides the 4-way model axis
+    src = r.normal(size=(B, T, 6)).astype(np.float32)
+    tgt = r.integers(3, 12, (B, 7)).astype(np.int32)
+    src_vl = np.array([8, 7, 5, 3], np.float32)  # ragged: masks cross shards
+    tgt_vl = np.full((B,), 7, np.float32)
+
+    plain = build()
+    sp = build(NamedSharding(mesh, P("data", "model", None)))
+    variables = plain.init(rng, jnp.asarray(src[:1]), jnp.asarray(tgt[:1, :-1]))
+
+    # teacher-forced loss through the production step harness
+    opt = optax.adam(1e-2)
+    pa = jax.tree_util.tree_map(np.copy, jax.device_get(variables["params"]))
+    pb = jax.tree_util.tree_map(np.copy, jax.device_get(variables["params"]))
+    step_sp = make_seq2seq_train_step(sp, opt, masked_ce_loss, mesh=mesh)
+    step_1d = make_seq2seq_train_step(plain, opt, masked_ce_loss)
+    batch = shard_batch(mesh, (src, tgt, src_vl, tgt_vl))
+    la = lb = None
+    for i in range(2):
+        pa, _, oa, la = step_sp(pa, {}, opt.init(pa) if i == 0 else oa,
+                                *batch, np.uint32(i))
+        pb, _, ob, lb = step_1d(pb, {}, opt.init(pb) if i == 0 else ob,
+                                src, tgt, src_vl, tgt_vl, np.uint32(i))
+    np.testing.assert_allclose(float(la), float(lb), rtol=2e-4)
+
+    # beam decode with the sequence-parallel memory
+    tr_sp = BeamSearchTranslator(sp, bos_id=1, eos_id=2, beam_size=3,
+                                 max_length=6, mesh=mesh)
+    tr_1d = BeamSearchTranslator(plain, bos_id=1, eos_id=2, beam_size=3,
+                                 max_length=6)
+    s_sp, sc_sp, l_sp = tr_sp.translate(variables, src, src_vl)
+    s_1d, sc_1d, l_1d = tr_1d.translate(variables, src, src_vl)
+    np.testing.assert_array_equal(np.asarray(s_sp), np.asarray(s_1d))
+    np.testing.assert_allclose(np.asarray(sc_sp), np.asarray(sc_1d), rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(l_sp), np.asarray(l_1d))
+
+
 def test_bucket_sampler_batch_multiple():
     from tennis_tpu.data.bucketing import FixedBucketSampler
 
