@@ -39,3 +39,30 @@ def test_reference_flags_covered(ref_file, module_name):
         f"{module_name} is missing reference flags {missing} "
         f"(defined in {path})"
     )
+
+
+def test_published_model_commands_parse():
+    """Every command line published in the reference's models/README.md (the
+    exact argvs for the 0006/0010/0028/0031/0042/0102 result rows) must parse
+    against our drivers — a reference user's documented invocations work
+    verbatim."""
+    readme = os.path.join(REF_ROOT, "models", "README.md")
+    if not os.path.exists(readme):
+        pytest.skip("reference checkout not present")
+    with open(readme) as f:
+        cmds = [line.strip() for line in f if line.strip().startswith("python ")]
+    assert len(cmds) >= 7
+
+    for cmd in cmds:
+        parts = cmd.split()
+        script = parts[1]
+        mod = importlib.import_module(
+            "tennis_tpu." + script.removesuffix(".py"))
+        fv = mod.FLAGS
+        try:
+            fv.unparse_flags()
+            leftover = fv([script] + parts[2:])
+        except Exception as e:
+            raise AssertionError(f"{cmd!r} failed to parse: {e}") from e
+        assert leftover == [script], f"{cmd!r} left unparsed args {leftover[1:]}"
+        fv.unparse_flags()
