@@ -129,11 +129,18 @@ class R21D(nn.Module):
     num_layers: int = 34
     num_classes: int = 400
     dtype: Any = jnp.bfloat16
+    # rematerialize each residual block in backward (jax.checkpoint): stores
+    # only block INPUTS, letting window-32 clips train at batches that
+    # otherwise exceed HBM (the DenseNet analogue is backbones.py --remat
+    # block). Param trees are identical with/without.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         block_type, layers, channels = R21D_SPECS[self.num_layers]
         block = BasicBlock21D if block_type == "basic" else Bottleneck21D
+        if self.remat:
+            block = nn.remat(block, static_argnums=(2,))  # (self, x, train)
 
         x = x.astype(self.dtype)
         x = Conv21D(channels[0], (3, 7, 7), (1, 2, 2), mid_channels=45,
@@ -176,9 +183,10 @@ class R21DClassifier(nn.Module):
 
 
 def get_r21d(num_layers: int = 34, n_classes: int = 400, t: int = 8,
-             dtype=jnp.bfloat16):
+             dtype=jnp.bfloat16, remat: bool = False):
     """Constructor mirroring reference r21d.py:212-253 (weights load separately
     via models/convert.py when a converted checkpoint is available)."""
     assert num_layers in R21D_SPECS, f"layers must be one of {list(R21D_SPECS)}"
     assert t in (8, 32), "reference supports t in {8, 32} (r21d.py:221)"
-    return R21D(num_layers=num_layers, num_classes=n_classes, dtype=dtype)
+    return R21D(num_layers=num_layers, num_classes=n_classes, dtype=dtype,
+                remat=remat)

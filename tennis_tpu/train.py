@@ -89,16 +89,20 @@ def build_model(num_classes: int, feats: bool):
     dtype = jnp.bfloat16
     temp_pool = FLAGS.temp_pool
     remat = None if FLAGS.remat == "none" else FLAGS.remat
-    if remat and not FLAGS.backbone.lower().startswith("densenet"):
-        raise ValueError("--remat supports DenseNet backbones only")
+    if remat and not (FLAGS.backbone.lower().startswith("densenet")
+                      or FLAGS.backbone.lower() == "rdnet"):
+        raise ValueError("--remat supports DenseNet and rdnet backbones only")
     if feats:
         base = None
     elif FLAGS.backbone.lower() == "rdnet":
         from tennis_tpu.models.r21d import get_r21d
 
         assert FLAGS.window in (8, 32), "rdnet needs --window 8 or 32"
+        if remat not in (None, "block"):
+            raise ValueError("rdnet supports --remat block only (per residual "
+                             "block); hires/growth are DenseNet policies")
         base = get_r21d(num_layers=34, n_classes=num_classes, t=FLAGS.window,
-                        dtype=dtype)
+                        dtype=dtype, remat=remat == "block")
         return FrameModel(base, num_classes, dtype=dtype)
     elif FLAGS.flow in ("twos", "only"):
         rgb = None if FLAGS.flow == "only" else get_backbone(

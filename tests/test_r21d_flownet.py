@@ -61,6 +61,29 @@ def test_r21d_train_updates_stats_but_not_stem(tmp_path):
     )
 
 
+def test_r21d_remat_is_numerically_transparent():
+    """--remat block on rdnet must not change params, outputs, or grads."""
+    x = jax.random.normal(RNG, (2, 4, 16, 16, 3))
+    plain = R21D(num_layers=34, num_classes=4, dtype=jnp.float32, remat=False)
+    remat = R21D(num_layers=34, num_classes=4, dtype=jnp.float32, remat=True)
+    vp = plain.init(jax.random.PRNGKey(0), x)
+    vr = remat.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(vp) == jax.tree_util.tree_structure(vr)
+    np.testing.assert_allclose(
+        np.asarray(plain.apply(vp, x)), np.asarray(remat.apply(vr, x)), rtol=1e-6
+    )
+
+    def loss(params, net, stats):
+        out, _ = net.apply({"params": params, "batch_stats": stats}, x,
+                           train=True, mutable=["batch_stats"])
+        return jnp.sum(out**2)
+
+    gp = jax.grad(lambda p: loss(p, plain, vp["batch_stats"]))(vp["params"])
+    gr = jax.grad(lambda p: loss(p, remat, vr["batch_stats"]))(vr["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_get_r21d_asserts():
     with pytest.raises(AssertionError):
         get_r21d(num_layers=50)
