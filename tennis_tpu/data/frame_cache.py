@@ -35,7 +35,11 @@ def resize_encode_one(src: str, dst: str, short: int, quality: int = 95) -> bool
     """Write ``dst`` as ``src`` resized to short side ``short``; returns whether
     a write happened. Fresh destinations (mtime >= source's) are skipped.
     Sources already at or below the target short side are copied verbatim —
-    no pointless re-encode generation loss."""
+    no pointless re-encode generation loss.
+
+    Writes land via a temp file + atomic ``os.replace``: the freshness check
+    above trusts mtime, so a build killed mid-write must never leave a
+    truncated-but-fresh ``dst`` that every later incremental re-run skips."""
     if os.path.exists(dst) and os.path.getmtime(dst) >= os.path.getmtime(src):
         return False
     import cv2
@@ -44,14 +48,20 @@ def resize_encode_one(src: str, dst: str, short: int, quality: int = 95) -> bool
     from tennis_tpu.data.transforms import resize_shorter
 
     img = _read_image_rgb(src, min_short=short)  # DCT prescale where >= 2x
-    if min(img.shape[:2]) <= short:
-        shutil.copyfile(src, dst)
-        return True
-    img = resize_shorter(img, short)
-    ok = cv2.imwrite(dst, cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
-                     [cv2.IMWRITE_JPEG_QUALITY, quality])
-    if not ok:
-        raise IOError(f"failed to write {dst}")
+    tmp = f"{dst}.tmp.{os.getpid()}.jpg"  # cv2 needs the extension
+    try:
+        if min(img.shape[:2]) <= short:
+            shutil.copyfile(src, tmp)
+        else:
+            img = resize_shorter(img, short)
+            ok = cv2.imwrite(tmp, cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+                             [cv2.IMWRITE_JPEG_QUALITY, quality])
+            if not ok:
+                raise IOError(f"failed to write {dst}")
+        os.replace(tmp, dst)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     return True
 
 

@@ -121,10 +121,12 @@ class TennisSet:
         # the original tree, and OFF for the 6-channel path — the flow concat's
         # 8-row crop needs the on-disk pixel relationship (see _load_frame)
         self._frames_cache_dir = None
+        self._frames_cache_short = None
         if frames_cache and not flow:
             from tennis_tpu.data.frame_cache import cache_dir
 
             self._frames_cache_dir = cache_dir(root, int(frames_cache))
+            self._frames_cache_short = int(frames_cache)
         self._captions = captions
         self._split = split
         self._balance = balance
@@ -341,11 +343,21 @@ class TennisSet:
         # decode scale would break
         min_short = None if self._flow else self._decode_short
         path = get_image_path(self._frames_dir, video, frame)
+        cache_miss_short = None
         if self._frames_cache_dir is not None:
             cached = get_image_path(self._frames_cache_dir, video, frame)
             if os.path.exists(cached):
                 path = cached
+            else:
+                # per-file fallback must match the cache's geometry, or a
+                # partially built cache mixes resolutions inside one temporal
+                # window and the window stack fails
+                cache_miss_short = self._frames_cache_short
         img = _read_image_rgb(path, min_short)
+        if cache_miss_short is not None and min(img.shape[:2]) > cache_miss_short:
+            from tennis_tpu.data.transforms import resize_shorter
+
+            img = resize_shorter(img, cache_miss_short)
         if self._flow:
             flw = _read_image_rgb(get_image_path(self._flow_dir, video, frame))
             # flow images are 4×-upscaled from quarter-res inference and 16 px shorter;

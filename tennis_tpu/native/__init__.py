@@ -19,22 +19,47 @@ _LIB = os.path.join(_HERE, "libbatch_ops.so")
 _lib = None
 
 
+def compile_shared(src: str, lib: str, link: tuple[str, ...] = ()) -> bool:
+    """Build ``lib`` from ``src`` if missing or stale; True when ``lib`` is
+    usable afterwards.
+
+    Safe under concurrent first use (frame-cache ProcessPool workers, multihost
+    processes on a shared FS): builders serialize on ``<lib>.lock`` and each
+    compiles to a private temp file that lands via atomic ``os.replace`` — no
+    process can ever dlopen a half-written library, and a killed build leaves
+    only a stray temp, never a trusted-but-corrupt ``lib``."""
+    import fcntl
+
+    if os.path.exists(lib) and os.path.getmtime(lib) >= os.path.getmtime(src):
+        return True
+    with open(lib + ".lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        if os.path.exists(lib) and os.path.getmtime(lib) >= os.path.getmtime(src):
+            return True  # another process built it while we waited
+        tmp = f"{lib}.tmp.{os.getpid()}"
+        try:
+            for cc in ("c++", "g++", "clang++"):
+                try:
+                    subprocess.run(
+                        [cc, "-O3", "-shared", "-fPIC", src, "-o", tmp, *link],
+                        check=True, capture_output=True,
+                    )
+                    os.replace(tmp, lib)
+                    return True
+                except (FileNotFoundError, subprocess.CalledProcessError):
+                    continue
+            return False
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+
+
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-        for cc in ("c++", "g++", "clang++"):
-            try:
-                subprocess.run(
-                    [cc, "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB],
-                    check=True, capture_output=True,
-                )
-                break
-            except (FileNotFoundError, subprocess.CalledProcessError):
-                continue
-        else:
-            return None
+    if not compile_shared(_SRC, _LIB):
+        return None
     lib = ctypes.CDLL(_LIB)
     i64p = ctypes.POINTER(ctypes.c_int64)
     f32p = ctypes.POINTER(ctypes.c_float)

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 
 import numpy as np
 
@@ -27,22 +26,20 @@ def _load():
     global _lib, _lib_failed
     if _lib is not None or _lib_failed:
         return _lib
-    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-        for cc in ("c++", "g++", "clang++"):
-            try:
-                subprocess.run(
-                    [cc, "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB, "-ljpeg"],
-                    check=True, capture_output=True,
-                )
-                break
-            except (FileNotFoundError, subprocess.CalledProcessError):
-                continue
-        else:
-            _lib_failed = True
-            return None
+    from tennis_tpu.native import compile_shared
+
+    if not compile_shared(_SRC, _LIB, link=("-ljpeg",)):
+        _lib_failed = True
+        return None
     try:
         lib = ctypes.CDLL(_LIB)
     except OSError:
+        # a pre-atomic-build artifact (or FS corruption): drop it so the next
+        # process rebuilds instead of trusting the broken file forever
+        try:
+            os.remove(_LIB)
+        except OSError:
+            pass
         _lib_failed = True
         return None
     u8p = ctypes.POINTER(ctypes.c_ubyte)

@@ -83,7 +83,9 @@ def fetch_local(tree):
             key = tuple((sl.start, sl.stop) for sl in s.index)
             uniq.setdefault(key, s)
         shards = sorted(uniq.values(), key=lambda s: s.index[0].start or 0)
-        non_batch = {s.index[1:] for s in shards}
+        # normalize like the dedup key: slice objects are unhashable pre-3.12
+        non_batch = {tuple((sl.start, sl.stop) for sl in s.index[1:])
+                     for s in shards}
         if len(non_batch) > 1:
             raise ValueError(
                 "fetch_local needs batch-only sharding; leaf is split along a "

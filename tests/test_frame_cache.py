@@ -85,12 +85,31 @@ def test_dataset_reads_cache_with_fallback(root, built):
                    frames_cache=SHORT)
     img, _label, idx = ds[0]
     assert min(img.shape[:2]) == SHORT  # cache resolution
-    # a missing cache file falls back to the original tree, full resolution
+    # a missing cache file falls back to the original tree, resized to the
+    # cache geometry so partial caches serve a single resolution
     video, frame = ds._samples[int(idx)][:2]
     os.remove(get_image_path(cache_dir(root, SHORT), video, frame))
     img2, _, _ = ds[0]
-    assert min(img2.shape[:2]) == 128
+    assert img2.shape == img.shape
     build_frame_cache(root, SHORT, workers=2)  # restore for other tests
+
+
+def test_partial_cache_keeps_windows_stackable(root, built):
+    """A half-built cache must not mix resolutions inside a temporal window —
+    the window stack requires every frame at one shape (regression: the
+    fallback used to return the full-res original)."""
+    ds = TennisSet(root=root, split="val", split_id="02", balance=False,
+                   window=3, frames_cache=SHORT)
+    video, frame = ds._samples[0][:2]
+    frames = ds.window_frames(0)
+    removed = get_image_path(cache_dir(root, SHORT), video, frames[1])
+    os.remove(removed)
+    try:
+        imgs, _label, _idx = ds[0]
+        assert imgs.shape[0] == 3
+        assert min(imgs.shape[1:3]) == SHORT
+    finally:
+        build_frame_cache(root, SHORT, workers=2)
 
 
 def test_flow_path_ignores_cache(root, built):

@@ -14,6 +14,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 _WORKER = r"""
 import sys
@@ -186,3 +187,40 @@ def test_two_process_cluster(tmp_path):
     assert outs[0] == outs[1], outs
     n_batches = int(outs[0].split()[1])
     assert n_batches == 2  # ceil(19/2)=10 per stripe, drop_last at 4
+
+
+def test_fetch_local_rejects_non_batch_sharding():
+    """local_rows' guard must raise the pointed ValueError (not a TypeError
+    from hashing slice objects — slices are unhashable before Python 3.12)
+    when a leaf is split along a non-batch axis, and must deduplicate
+    model-axis replicas of the same row range."""
+    import numpy as np
+
+    from tennis_tpu.parallel.distributed import fetch_local
+
+    class _Shard:
+        def __init__(self, index, data):
+            self.index, self.data = index, data
+
+    class _Leaf:
+        is_fully_addressable = False
+
+        def __init__(self, shards):
+            self.addressable_shards = shards
+
+    full = np.arange(12, dtype=np.float32).reshape(4, 3)
+    # split along axis 1: no host-local row interpretation
+    col_split = _Leaf([
+        _Shard((slice(0, 4), slice(0, 2)), full[:, 0:2]),
+        _Shard((slice(0, 4), slice(2, 3)), full[:, 2:3]),
+    ])
+    with pytest.raises(ValueError, match="non-batch axis"):
+        fetch_local(col_split)
+
+    # batch split with a model-axis replica of rows 0:2 — one copy survives
+    replicated = _Leaf([
+        _Shard((slice(0, 2), slice(0, 3)), full[0:2]),
+        _Shard((slice(0, 2), slice(0, 3)), full[0:2]),
+        _Shard((slice(2, 4), slice(0, 3)), full[2:4]),
+    ])
+    np.testing.assert_array_equal(fetch_local(replicated), full)
