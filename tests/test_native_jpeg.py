@@ -69,3 +69,41 @@ def test_dataset_reader_uses_native(jpg):
     ours = _read_image_rgb(jpg, None)
     ref = cv2.cvtColor(cv2.imread(jpg), cv2.COLOR_BGR2RGB)
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_concurrent_first_use_compiles_once(tmp_path):
+    """N processes racing the first-use build must all end up with a valid
+    library and leave no temp artifacts (the build is locked + atomic)."""
+    import shutil
+    import subprocess
+    import sys
+
+    import tennis_tpu.native as native
+
+    src_dir = tmp_path / "native"
+    shutil.copytree(os.path.dirname(native.__file__), src_dir,
+                    ignore=shutil.ignore_patterns("*.so", "*.lock", "__pycache__"))
+    (tmp_path / "tennis_tpu").mkdir()
+    (tmp_path / "tennis_tpu" / "__init__.py").write_text("")
+    shutil.move(str(src_dir), str(tmp_path / "tennis_tpu" / "native"))
+
+    code = (
+        "import numpy as np\n"
+        "from tennis_tpu.native import jpeg\n"
+        "import tennis_tpu.native as n\n"
+        "assert n._load() is not None\n"
+        "assert jpeg._load() is not None\n"
+        "print('ok')\n"
+    )
+    env = dict(os.environ, PYTHONPATH=str(tmp_path))
+    procs = [subprocess.Popen([sys.executable, "-c", code], env=env,
+                              cwd=str(tmp_path),  # keep /root/repo off sys.path
+                              stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                              text=True) for _ in range(4)]
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err[-2000:]
+        assert out.strip() == "ok"
+    built = os.listdir(tmp_path / "tennis_tpu" / "native")
+    assert "libbatch_ops.so" in built and "libjpeg_decode.so" in built
+    assert not [f for f in built if ".tmp." in f]
