@@ -66,3 +66,26 @@ def test_published_model_commands_parse():
             raise AssertionError(f"{cmd!r} failed to parse: {e}") from e
         assert leftover == [script], f"{cmd!r} left unparsed args {leftover[1:]}"
         fv.unparse_flags()
+
+
+def test_rdnet_remat_flag_wiring():
+    """--backbone rdnet --remat block reaches R21D(remat=True); hires/growth
+    stay DenseNet-only."""
+    from absl import flags
+
+    from tennis_tpu import train as train_driver
+
+    fv = flags.FLAGS
+    fv.unparse_flags()
+    fv(["train.py", "--backbone=rdnet", "--window=8", "--remat=block"])
+    model = train_driver.build_model(num_classes=5, feats=False)
+    assert model.backbone.remat is True
+    fv.unparse_flags()
+    fv(["train.py", "--backbone=rdnet", "--window=8", "--remat=hires"])
+    with pytest.raises(ValueError, match="rdnet supports --remat block"):
+        train_driver.build_model(num_classes=5, feats=False)
+    fv.unparse_flags()
+    fv(["train.py", "--backbone=resnet18_v2", "--remat=block"])
+    with pytest.raises(ValueError, match="DenseNet and rdnet"):
+        train_driver.build_model(num_classes=5, feats=False)
+    fv.unparse_flags()
