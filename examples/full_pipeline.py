@@ -10,8 +10,9 @@ Mirrors the reference's published experiment chain (models/README.md):
   7. two-stream RGB+flow classifier            (reference model 0010)
   8. R(2+1)D clip classifier                   (reference model 0031)
 
-Stages 7-8 need flow images under <root>/flow (data/process.py generates
-them); they are skipped with a notice when the flow dir is missing.
+Stage 7 needs flow images under <root>/flow (data/process.py generates them)
+and is skipped with a notice when the flow dir is missing; stage 8 trains on
+RGB clips and runs either way.
 
 Usage: ``python examples/full_pipeline.py --root <dataset root> [--small]``
 (--small uses tiny shapes/epochs for smoke-testing on CPU).

@@ -186,3 +186,37 @@ def global_keep_indices(stripe_off: int, n: int, host_batch: int, procs: int,
         (p * host_batch + np.arange(n))[p + pos * procs < n_total]
         for p in range(procs)
     ])
+
+
+def sharded_eval_iter(loader, host_batch: int, n_total: int, sharding, step):
+    """Drive a jitted eval ``step`` over a (possibly multi-host) loader.
+
+    The one eval loop shared by the drivers (train.run_eval,
+    train._pooled_final_test, evaluate.evaluate_model): pad each host batch to
+    the static ``host_batch``, prefetch to device under ``sharding``, run
+    ``step(images)``, gather the outputs, and drop pad rows AND the loader's
+    wrap-padded duplicate rows, so the concatenation of the yielded rows is
+    exactly a single-host pass over the dataset.
+
+    The per-batch gather is one host fetch (a collective under multi-host;
+    every host reaches it in lockstep thanks to equal loader stripes). The
+    gathered arrays are GLOBAL: process-major stripes of ``host_batch`` rows
+    each, with the first ``n`` of every stripe valid.
+
+    Yields ``(out, labels, idxs)`` numpy row-blocks per batch.
+    """
+    from tennis_tpu.parallel.distributed import fetch_global
+    from tennis_tpu.parallel.mesh import pad_batch
+
+    def padded():
+        for batch in iter(loader):
+            yield pad_batch(batch, host_batch)
+
+    stripe_off = 0
+    for (images, labels, idxs), n in prefetch_to_device(padded(), sharding):
+        out = step(images)
+        out, labels, idxs = fetch_global((out, labels, idxs))
+        keep = global_keep_indices(stripe_off, n, host_batch,
+                                   out.shape[0] // host_batch, n_total)
+        stripe_off += n
+        yield out[keep], labels[keep], idxs[keep]

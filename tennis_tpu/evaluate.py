@@ -37,7 +37,7 @@ def evaluate_model():
     from tennis_tpu.models import backbone_feature_dim
     from tennis_tpu.parallel import batch_sharding, create_train_state, make_mesh
     from tennis_tpu.parallel.distributed import (
-        fetch_global, host_batch_slice, initialize_multihost, make_pod_mesh,
+        host_batch_slice, initialize_multihost, make_pod_mesh,
     )
     from tennis_tpu.parallel.train_step import sgd_with_schedule
     from tennis_tpu.utils import checkpoint as ckpt
@@ -100,8 +100,11 @@ def evaluate_model():
         (1, FLAGS.data_shape, FLAGS.data_shape, c) if pool_eval
         else train_driver._sample_shape(test_set.num_class, feats, feat_dim)
     )
+    # created with its mesh shardings so the checkpoint load below re-places
+    # the restored host arrays on the mesh ONCE (load_state's contract) — a
+    # single-device or host-numpy param tree would re-upload per eval batch
     state = create_train_state(model, rng, jnp.zeros(sample_shape, jnp.float32),
-                               tx, {"train": True})
+                               tx, {"train": True}, mesh=mesh)
 
     # temp-pool mode loads the DONOR experiment's checkpoint (reference
     # evaluate.py:224-240: mod_path is --feats_model for max/mean)
@@ -130,11 +133,9 @@ def evaluate_model():
 
     from functools import partial
 
-    from tennis_tpu.parallel.mesh import tpu_compiler_options
+    from tennis_tpu.parallel.mesh import driver_compiler_options
 
-    # tuned options help DenseNet programs, hurt R(2+1)D (README ablation)
-    _opts = (None if FLAGS.backbone.lower() == "rdnet"
-             else tpu_compiler_options(mesh))
+    _opts = driver_compiler_options(FLAGS.backbone, mesh)
 
     @partial(jax.jit, compiler_options=_opts)
     def eval_step(params, batch_stats, images):
@@ -160,31 +161,17 @@ def evaluate_model():
             logits = model.apply(variables, images, train=False)
         return jax.nn.softmax(logits, axis=-1)
 
-    from tennis_tpu.data.loader import global_keep_indices, prefetch_to_device
-    from tennis_tpu.parallel.mesh import pad_batch
+    from tennis_tpu.data.loader import sharded_eval_iter
 
     metrics = train_driver._metric_set(test_set.classes)
     results, gts = {}, {}
     tic = time.time()
 
-    def padded():
-        for batch in iter(loader):
-            yield pad_batch(batch, host_batch)
-
-    n_total = len(test_set)
-    stripe_off = 0
-    # device transfers overlap compute; one host fetch per batch feeds all metrics
-    for (images, labels, idxs), n in prefetch_to_device(padded(),
-                                                        batch_sharding(mesh)):
-        probs = eval_step(state.params, state.batch_stats, images)
-        # one host fetch per batch (a collective under --multihost; every host
-        # reaches it in lockstep thanks to equal loader stripes)
-        probs_np, labels, idxs = fetch_global((probs, labels, idxs))
-        # process-major stripes, minus the loader's wrap-padded duplicates
-        keep = global_keep_indices(stripe_off, n, host_batch,
-                                   probs_np.shape[0] // host_batch, n_total)
-        stripe_off += n
-        probs_np, labels, idxs = probs_np[keep], labels[keep], idxs[keep]
+    # the shared sharded eval loop: device transfers overlap compute, one host
+    # fetch per batch, wrap-padded duplicate rows dropped exactly
+    for probs_np, labels, idxs in sharded_eval_iter(
+            loader, host_batch, len(test_set), batch_sharding(mesh),
+            lambda images: eval_step(state.params, state.batch_stats, images)):
         for m in metrics.values():
             m.update(labels, probs_np)
         for p, label, idx in zip(probs_np, labels, idxs):

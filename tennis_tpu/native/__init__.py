@@ -32,7 +32,14 @@ def compile_shared(src: str, lib: str, link: tuple[str, ...] = ()) -> bool:
 
     if os.path.exists(lib) and os.path.getmtime(lib) >= os.path.getmtime(src):
         return True
-    with open(lib + ".lock", "w") as lock:
+    try:
+        lock = open(lib + ".lock", "w")
+    except OSError:
+        # Read-only install dir (root-owned site-packages, immutable container
+        # layer) with no prebuilt .so: degrade to the numpy/cv2 fallback, the
+        # same contract as a missing toolchain.
+        return False
+    with lock:
         fcntl.flock(lock, fcntl.LOCK_EX)
         if os.path.exists(lib) and os.path.getmtime(lib) >= os.path.getmtime(src):
             return True  # another process built it while we waited

@@ -38,6 +38,16 @@ def tpu_compiler_options(mesh: Mesh | None = None):
     return dict(TPU_COMPILER_OPTIONS)
 
 
+def driver_compiler_options(backbone: str, mesh: Mesh | None = None):
+    """Per-backbone jit ``compiler_options`` for the CLI drivers: the tuned
+    scoped-VMEM budget helps DenseNet-family programs (+23% extraction) but
+    measured -5% on R(2+1)D (README ablation), so rdnet opts out. One rule,
+    shared by every driver step (train/eval/pool/feature-dump)."""
+    if str(backbone).lower() == "rdnet":
+        return None
+    return tpu_compiler_options(mesh)
+
+
 def make_mesh(num_data: int | None = None, num_model: int = 1, devices=None) -> Mesh:
     """Build a (data, model) mesh. Defaults to all-devices pure DP."""
     devices = list(devices if devices is not None else jax.devices())

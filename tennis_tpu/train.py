@@ -220,7 +220,7 @@ def train_and_evaluate():
     import optax
 
     from tennis_tpu.data.loader import (
-        DataLoader, global_keep_indices, prefetch_to_device,
+        DataLoader, prefetch_to_device, sharded_eval_iter,
     )
     from tennis_tpu.data.transforms import device_augment, device_prepare
     from tennis_tpu.parallel.distributed import (
@@ -351,9 +351,9 @@ def train_and_evaluate():
             return device_augment(images, key)
         return _prepare(images)
 
-    # the tuned scoped-VMEM budget helps DenseNet-family programs (+23%
-    # extraction) but measured -5% on R(2+1)D (see README ablation)
-    step_opts = None if FLAGS.backbone.lower() == "rdnet" else "auto"
+    from tennis_tpu.parallel.mesh import driver_compiler_options
+
+    step_opts = driver_compiler_options(FLAGS.backbone, mesh)
     train_step = make_train_step(
         model, mesh=mesh, preprocess=train_preprocess,
         rng_seed=FLAGS.seed + 123, state_sharding=sh_state,
@@ -363,31 +363,15 @@ def train_and_evaluate():
                                state_sharding=sh_state,
                                compiler_options=step_opts)
 
-    from tennis_tpu.parallel.mesh import pad_batch
-
     def run_eval(split):
         metrics = _metric_set(test_set.classes)
-        n_total = len(loaders[split].dataset)
-
-        def padded():
-            for batch in iter(loaders[split]):
-                yield pad_batch(batch, host_batch)
-
-        stripe_off = 0
-        for (images, labels, _), n in prefetch_to_device(padded(), bsharding):
-            logits = eval_step(state.params, state.batch_stats, images)
-            # one fetch for both arrays (device_get refuses non-fully-
-            # addressable multi-host arrays; all hosts reach this in lockstep).
-            # The gathered arrays are GLOBAL: rows are process-major stripes of
-            # host_batch each, with the first n of every stripe valid (equal
-            # stripe lengths keep n identical across hosts).
-            logits, labels = fetch_global((logits, labels))
-            # drop the loader's wrap-padded duplicates exactly — pod-mode
-            # metrics equal the single-host pass (data/loader.py rule)
-            keep = global_keep_indices(stripe_off, n, host_batch,
-                                       logits.shape[0] // host_batch, n_total)
-            stripe_off += n
-            logits, labels = logits[keep], labels[keep]
+        # pad → prefetch → step → gather → drop wrap-padded duplicates: the
+        # shared sharded eval loop (pod-mode metrics equal a single-host pass)
+        for logits, labels, _ in sharded_eval_iter(
+                loaders[split], host_batch, len(loaders[split].dataset),
+                bsharding,
+                lambda images: eval_step(state.params, state.batch_stats,
+                                         images)):
             for m in metrics.values():
                 m.update(labels, logits)
         return metrics
@@ -482,12 +466,10 @@ def _pooled_final_test(test_set, loader, mesh, bsharding, host_batch):
     import jax
     import jax.numpy as jnp
 
-    from tennis_tpu.data.loader import global_keep_indices, prefetch_to_device
+    from tennis_tpu.data.loader import sharded_eval_iter
     from tennis_tpu.data.transforms import device_prepare
     from tennis_tpu.models import FrameModel, get_backbone
     from tennis_tpu.parallel import create_train_state, sgd_with_schedule
-    from tennis_tpu.parallel.distributed import fetch_global
-    from tennis_tpu.parallel.mesh import pad_batch
     from tennis_tpu.utils import checkpoint as ckpt
     from tennis_tpu.utils.experiments import experiment_dir
 
@@ -527,11 +509,9 @@ def _pooled_final_test(test_set, loader, mesh, bsharding, host_batch):
     pool = FLAGS.temp_pool
     from functools import partial
 
-    from tennis_tpu.parallel.mesh import tpu_compiler_options
+    from tennis_tpu.parallel.mesh import driver_compiler_options
 
-    # tuned options are DenseNet-scoped (README ablation: -5% on R(2+1)D)
-    _opts = (None if FLAGS.backbone.lower() == "rdnet"
-             else tpu_compiler_options(mesh))
+    _opts = driver_compiler_options(FLAGS.backbone, mesh)
 
     # the reference's TemporalPooling(num_classes=0) wrap, through the module
     # (pool the donor's backbone features over time, then its trained head)
@@ -552,19 +532,9 @@ def _pooled_final_test(test_set, loader, mesh, bsharding, host_batch):
     metrics = _metric_set(test_set.classes)
     tic = time.time()
 
-    def padded():
-        for batch in iter(loader):
-            yield pad_batch(batch, host_batch)
-
-    stripe_off = 0
-    for (images, labels, _), n in prefetch_to_device(padded(), bsharding):
-        logits = pool_step(state.params, state.batch_stats, images)
-        logits, labels = fetch_global((logits, labels))
-        # process-major stripes, minus wrap-padded duplicates (run_eval's rule)
-        keep = global_keep_indices(stripe_off, n, host_batch,
-                                   logits.shape[0] // host_batch, len(test_set))
-        stripe_off += n
-        logits, labels = logits[keep], labels[keep]
+    for logits, labels, _ in sharded_eval_iter(
+            loader, host_batch, len(test_set), bsharding,
+            lambda images: pool_step(state.params, state.batch_stats, images)):
         for m in metrics.values():
             m.update(labels, logits)
 
@@ -597,11 +567,9 @@ def save_features(model, state, datasets, loaders, mesh):
 
     from functools import partial
 
-    from tennis_tpu.parallel.mesh import tpu_compiler_options
+    from tennis_tpu.parallel.mesh import driver_compiler_options
 
-    # tuned options are DenseNet-scoped (README ablation: -5% on R(2+1)D)
-    _opts = (None if FLAGS.backbone.lower() == "rdnet"
-             else tpu_compiler_options(mesh))
+    _opts = driver_compiler_options(FLAGS.backbone, mesh)
 
     @partial(jax.jit, compiler_options=_opts)
     def feat_step(params, batch_stats, images):

@@ -93,7 +93,7 @@ def build_model(vocab_size: int):
         dropout=FLAGS.dropout,
     )
     src_embed = None
-    if FLAGS.feats_model is None:
+    if not FLAGS.feats_model:  # None or '' — the pixels path
         from tennis_tpu.models import get_backbone
 
         # pixels path: TimeDistributed CNN backbone as src_embed
@@ -230,12 +230,12 @@ def train(argv=None):
     # train_gnmt.py:149-151 builds the CNN from the pretrained zoo); a
     # backbone_from_id transplant below overrides it, like the reference's
     # load_parameters after construction
-    if FLAGS.pretrained_npz and FLAGS.feats_model is not None:
+    if FLAGS.pretrained_npz and FLAGS.feats_model:
         raise ValueError(
             "--pretrained_npz needs the pixels path; --feats_model consumes "
             "precomputed features and has no CNN src_embed to initialize"
         )
-    if FLAGS.feats_model is None and FLAGS.pretrained_npz:
+    if not FLAGS.feats_model and FLAGS.pretrained_npz:
         from tennis_tpu.models.convert import inject_npz, rebase
 
         flat = rebase(dict(np.load(FLAGS.pretrained_npz)), ["src_embed"])
@@ -252,7 +252,7 @@ def train(argv=None):
 
     # pixels path: transplant a trained vision experiment's backbone into
     # src_embed (reference train_gnmt.py:152-161 loads the latest epoch params)
-    if FLAGS.feats_model is None and FLAGS.backbone_from_id:
+    if not FLAGS.feats_model and FLAGS.backbone_from_id:
         params, batch_stats = _transplant_backbone(
             dict(params), dict(batch_stats), FLAGS.backbone_from_id
         )
@@ -272,7 +272,7 @@ def train(argv=None):
 
     def _make_opt(learning_rate):
         stages = []
-        if FLAGS.freeze_backbone and FLAGS.feats_model is None:
+        if FLAGS.freeze_backbone and not FLAGS.feats_model:
             # zero the CNN src_embed grads BEFORE the global-norm clip: the
             # reference's grad_req='null' (train_gnmt.py:164-166) excludes the
             # backbone from the norm entirely — masking after clip+opt was

@@ -35,9 +35,24 @@ def save_state(path: str, state) -> None:
 
 
 def load_state(path: str, target):
-    """Restore into a template pytree (shapes/dtypes from ``target``)."""
+    """Restore into a template pytree (shapes/dtypes from ``target``).
+
+    Leaves whose template is a device-resident ``jax.Array`` are re-placed on
+    the template's sharding: ``from_bytes`` yields host numpy, and a numpy
+    param tree silently re-uploads on EVERY jitted call that consumes it —
+    per-batch over the TPU tunnel in the eval loops. Non-addressable (pod
+    mesh) shardings are left on host; pjit distributes those uniformly.
+    """
     with open(path, "rb") as f:
-        return serialization.from_bytes(target, f.read())
+        restored = serialization.from_bytes(target, f.read())
+
+    def place(t, r):
+        sh = getattr(t, "sharding", None)
+        if isinstance(t, jax.Array) and sh is not None and sh.is_fully_addressable:
+            return jax.device_put(r, sh)
+        return r
+
+    return jax.tree_util.tree_map(place, target, restored)
 
 
 def load_raw(path: str):

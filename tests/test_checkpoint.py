@@ -78,3 +78,34 @@ def test_orbax_roundtrip(tmp_path):
     ckpt.save_state_orbax(path, restored)
     again = ckpt.load_state_orbax(path, zero)
     assert int(again["step"]) == 7
+
+
+def test_load_state_restores_device_placement(tmp_path):
+    """from_bytes yields host numpy; load_state must re-place restored leaves
+    on the template's sharding — a numpy param tree re-uploads to device on
+    EVERY jitted call that consumes it (per-batch over the TPU tunnel in the
+    driver eval loops)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    path = ckpt.epoch_path(str(tmp_path), 0)
+    state = _state()
+    ckpt.save_state(path, state)
+
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("data",))
+    template = jax.device_put(
+        jax.tree_util.tree_map(np.zeros_like, jax.device_get(state)),
+        NamedSharding(mesh, P()),
+    )
+    restored = ckpt.load_state(path, template)
+    for leaf in jax.tree_util.tree_leaves(restored):
+        assert isinstance(leaf, jax.Array)
+        assert leaf.sharding == NamedSharding(mesh, P())
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.asarray(state["params"]["w"]))
+
+    # a plain-numpy template stays on host (multihost pod-mesh contract)
+    host_template = jax.tree_util.tree_map(np.zeros_like,
+                                           jax.device_get(state))
+    restored_host = ckpt.load_state(path, host_template)
+    assert all(isinstance(l, np.ndarray)
+               for l in jax.tree_util.tree_leaves(restored_host))

@@ -89,3 +89,19 @@ def test_rdnet_remat_flag_wiring():
     with pytest.raises(ValueError, match="DenseNet and rdnet"):
         train_driver.build_model(num_classes=5, feats=False)
     fv.unparse_flags()
+
+
+def test_empty_feats_model_is_pixels_path():
+    """``--feats_model=`` (empty-string clearing, the repo convention used by
+    e.g. --emb_file=) must select the pixels path everywhere: build_model gets
+    a CNN src_embed, matching make_datasets' ``FLAGS.feats_model or None``."""
+    from tennis_tpu import train_gnmt as tg
+
+    tg.FLAGS.unparse_flags()
+    tg.FLAGS(["train_gnmt.py", "--feats_model=", "--backbone=resnet18_v2",
+              "--num_hidden=8", "--emb_size=8"])
+    model = tg.build_model(vocab_size=16)
+    assert model.src_embed is not None
+    tg.FLAGS.unparse_flags()
+    tg.FLAGS(["train_gnmt.py", "--feats_model=t1"])
+    assert tg.build_model(vocab_size=16).src_embed is None

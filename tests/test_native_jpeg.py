@@ -107,3 +107,26 @@ def test_concurrent_first_use_compiles_once(tmp_path):
     built = os.listdir(tmp_path / "tennis_tpu" / "native")
     assert "libbatch_ops.so" in built and "libjpeg_decode.so" in built
     assert not [f for f in built if ".tmp." in f]
+
+
+def test_unwritable_dir_degrades_to_fallback(tmp_path, monkeypatch):
+    """A read-only install dir (no prebuilt .so, lock file uncreatable) must
+    return False — the numpy/cv2 fallback contract — not raise."""
+    import builtins
+
+    from tennis_tpu import native
+
+    src = tmp_path / "x.cpp"
+    src.write_text("int f() { return 0; }\n")
+    lib = str(tmp_path / "libx.so")
+
+    real_open = builtins.open
+
+    def deny_lock(path, *a, **k):
+        # chmod can't simulate this under root; deny the lock file directly
+        if str(path).endswith(".lock"):
+            raise PermissionError(13, "Permission denied", str(path))
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", deny_lock)
+    assert native.compile_shared(str(src), lib) is False
