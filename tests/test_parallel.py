@@ -324,3 +324,39 @@ def test_pod_mesh_single_process_and_host_slice():
     mesh = make_pod_mesh(num_model=2)
     assert mesh.shape == {"data": 4, "model": 2}
     assert host_batch_slice(64) == 64  # single process keeps the global batch
+
+
+def test_sharded_eval_iter_single_host_exact():
+    """The shared driver eval loop (data/loader.sharded_eval_iter): padded
+    batches in, per-row outputs out, pad rows dropped — the concatenated rows
+    equal a plain pass over the dataset in order."""
+    import numpy as np
+
+    from tennis_tpu.data.loader import DataLoader, sharded_eval_iter
+    from tennis_tpu.parallel import batch_sharding, make_mesh
+
+    class DS:
+        def __len__(self):
+            return 11  # not a multiple of the batch size → pad rows exist
+
+        def __getitem__(self, i):
+            img = np.full((4,), i, np.float32)
+            return img, np.int32(i % 3), np.int32(i)
+
+    mesh = make_mesh(num_data=2)
+    loader = DataLoader(DS(), batch_size=4, num_workers=1, shuffle=False)
+    host_batch = 4
+
+    rows, labels, idxs = [], [], []
+    for out, lab, idx in sharded_eval_iter(loader, host_batch, 11,
+                                           batch_sharding(mesh),
+                                           lambda images: images * 2.0):
+        rows.append(out), labels.append(lab), idxs.append(idx)
+    rows = np.concatenate(rows)
+    labels = np.concatenate(labels)
+    idxs = np.concatenate(idxs)
+    assert rows.shape == (11, 4)
+    np.testing.assert_array_equal(idxs, np.arange(11))
+    np.testing.assert_array_equal(labels, np.arange(11) % 3)
+    np.testing.assert_allclose(rows, np.tile(np.arange(11)[:, None] * 2.0,
+                                             (1, 4)))
