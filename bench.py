@@ -288,9 +288,43 @@ def loader_bench():
     print(json.dumps(result))
 
 
+def _tpu_reachable(timeout_s: float = 150.0) -> bool:
+    """Probe the tunneled axon TPU in a SUBPROCESS with a hard timeout.
+
+    When the tunnel is down, ``jax.devices()`` hangs forever inside plugin
+    registration (observed outages >2 h) — it does not error — so an in-process
+    check would wedge the benchmark and lose the output contract. The probe
+    subprocess inherits sitecustomize and hangs the same way; we bound it."""
+    import subprocess
+
+    code = ("import jax; ds = jax.devices(); "
+            "assert any('cpu' not in str(d.platform).lower() for d in ds), ds; "
+            "print('ok')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+        return r.returncode == 0 and "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    if not _tpu_reachable():
+        # Emit an honest, PARSEABLE artifact instead of hanging to rc=124:
+        # value 0.0 (nothing was measured now); the recorded numbers are from
+        # this round's earlier on-chip runs (README/PARITY) for context only.
+        print(json.dumps({
+            "metric": "frames/sec/chip (DenseNet121-512 feature extraction)",
+            "value": 0.0, "unit": "frames/sec", "vs_baseline": 0.0,
+            "error": "axon TPU tunnel unreachable (device registration hung "
+                     "past the probe timeout); nothing measured this run",
+            "last_recorded_on_chip": {"extraction_fps": 2358.0, "mfu": 0.355,
+                                      "train_samples_per_sec": 334.5},
+        }), flush=True)
+        return
 
     from tennis_tpu.data.transforms import device_prepare
     from tennis_tpu.models import FrameModel, get_backbone
