@@ -173,14 +173,33 @@ def test_debug_through_time_distributed():
     assert gnorm > 0.0
 
 
-def test_print_time_logs(caplog):
+def test_print_time_logs():
     import logging as pylogging
+
+    from absl import logging as absl_logging
 
     from tennis_tpu.utils import print_time
 
-    with caplog.at_level(pylogging.INFO):
+    # capture on absl's own logger directly — caplog relies on root-logger
+    # propagation, which earlier driver tests (setup_logging/absl handlers)
+    # can disable, making this test order-dependent in the full suite
+    records = []
+
+    class Grab(pylogging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    logger = absl_logging.get_absl_logger()
+    h = Grab(level=pylogging.INFO)
+    old_level = logger.level
+    logger.addHandler(h)
+    logger.setLevel(pylogging.INFO)
+    try:
         with print_time("do a thing"):
             pass
-    text = caplog.text
+    finally:
+        logger.removeHandler(h)
+        logger.setLevel(old_level)
+    text = "\n".join(records)
     assert "Starting to do a thing" in text
     assert "Finished to do a thing in" in text
