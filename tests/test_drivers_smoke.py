@@ -395,3 +395,45 @@ def test_train_cnnrnn_on_features_driver(env):
     exp = os.path.join(workdir, "models", "vision", "experiments", "cr1")
     assert os.path.exists(os.path.join(exp, "0000.params"))
     assert os.path.exists(os.path.join(exp, "scores.txt"))
+
+
+def test_predict_video_driver(env):
+    """predict.py (beyond-parity): raw mp4 → streamed batched inference →
+    probabilities + events timeline + overlay, with no dataset scaffolding.
+    Depends on the t1 experiment trained by the cycle test."""
+    root, workdir = env
+    from tennis_tpu.data.video import frames_to_video
+    from tennis_tpu.predict import label_runs, main as predict_main
+
+    video_dir = next(
+        os.path.join(root, "frames", d)
+        for d in sorted(os.listdir(os.path.join(root, "frames")))
+    )
+    mp4 = frames_to_video(video_dir, os.path.join(workdir, "clip.mp4"), fps=10)
+    assert mp4 is not None
+
+    out_dir = os.path.join(workdir, "pred_out")
+    probs, frame_ids, events = predict_main([
+        "predict.py", f"--video={mp4}", f"--root={root}", "--model_id=t1",
+        "--backbone=resnet18_v2", "--data_shape=32", "--batch_size=8",
+        "--every=2", f"--out_dir={out_dir}", "--vis",
+    ])
+    n_frames = len([f for _, _, fs in os.walk(video_dir) for f in fs])
+    assert len(probs) == -(-n_frames // 2)  # every 2nd frame
+    assert probs.shape[1] == 11
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-3)
+    assert list(frame_ids) == sorted(frame_ids)
+    # artifacts
+    assert os.path.exists(os.path.join(out_dir, "probabilities.npy"))
+    assert os.path.exists(os.path.join(out_dir, "results.mp4"))
+    lines = open(os.path.join(out_dir, "events.tsv")).read().strip().split("\n")
+    assert lines[0] == "start\tend\tclass\tmean_prob"
+    assert len(lines) - 1 == len(events)
+    # events tile the sampled range contiguously
+    assert events[0][0] == frame_ids[0] and events[-1][1] == frame_ids[-1]
+
+    # label_runs unit semantics
+    runs = label_runs(np.array([1, 1, 2, 2, 2, 1]),
+                      np.array([0, 2, 4, 6, 8, 10]),
+                      np.eye(3)[[1, 1, 2, 2, 2, 1]])
+    assert runs == [(0, 2, 1, 1.0), (4, 8, 2, 1.0), (10, 10, 1, 1.0)]
