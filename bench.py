@@ -288,26 +288,6 @@ def loader_bench():
     print(json.dumps(result))
 
 
-def _tpu_reachable(timeout_s: float = 150.0) -> bool:
-    """Probe the tunneled axon TPU in a SUBPROCESS with a hard timeout.
-
-    When the tunnel is down, ``jax.devices()`` hangs forever inside plugin
-    registration (observed outages >2 h) — it does not error — so an in-process
-    check would wedge the benchmark and lose the output contract. The probe
-    subprocess inherits sitecustomize and hangs the same way; we bound it."""
-    import subprocess
-
-    code = ("import jax; ds = jax.devices(); "
-            "assert any('cpu' not in str(d.platform).lower() for d in ds), ds; "
-            "print('ok')")
-    try:
-        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                           capture_output=True, text=True)
-        return r.returncode == 0 and "ok" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
-
-
 def _emit_outage_artifact(reason: str) -> None:
     """Honest, PARSEABLE artifact instead of hanging to rc=124: value 0.0
     (nothing was measured now); the recorded numbers are from this round's

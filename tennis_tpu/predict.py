@@ -44,7 +44,8 @@ flags.DEFINE_string("backbone", "DenseNet121", "Backbone CNN name",
 flags.DEFINE_string("out_dir", None,
                     "Output directory (default predictions/<video stem>)",
                     flag_values=FLAGS)
-flags.DEFINE_integer("every", 1, "Classify every nth frame", flag_values=FLAGS)
+flags.DEFINE_integer("every", 1, "Classify every nth frame", lower_bound=1,
+                     flag_values=FLAGS)
 flags.DEFINE_integer("batch_size", 64, "Inference batch size",
                      flag_values=FLAGS)
 flags.DEFINE_integer("data_shape", 512, "Input crop side", flag_values=FLAGS)
@@ -78,8 +79,10 @@ def label_runs(labels: np.ndarray, frame_ids: np.ndarray,
 
 def _stream_batches(video_path: str, every: int, batch: int, data_shape: int,
                     max_frames: int, frames_dir: str | None):
-    """Yield (uint8 [batch, S, S, 3], frame_ids, n_valid) straight off the
-    decoder; the final batch is wrap-padded to the static shape. With
+    """Yield (uint8 [batch, S, S, 3], frame_id list, n_valid) straight off the
+    decoder; the final batch is edge-padded (last frame repeated) to the
+    static shape and the consumer drops the pad rows via n_valid. frame ids
+    stay a plain list so the device prefetch leaves them on the host. With
     ``frames_dir``, also writes each sampled full-size frame to disk (the
     overlay path needs the original pixels)."""
     import cv2
@@ -106,7 +109,7 @@ def _stream_batches(video_path: str, every: int, batch: int, data_shape: int,
         ids.append(frame_idx)
         n_seen += 1
         if len(imgs) == batch:
-            yield np.stack(imgs), np.asarray(ids, np.int64), batch
+            yield np.stack(imgs), ids, batch
             imgs, ids = [], []
         if 0 < max_frames <= n_seen:
             break
@@ -116,7 +119,7 @@ def _stream_batches(video_path: str, every: int, batch: int, data_shape: int,
         pad = batch - n
         imgs.extend([imgs[-1]] * pad)
         ids.extend([ids[-1]] * pad)
-        yield np.stack(imgs), np.asarray(ids, np.int64), n
+        yield np.stack(imgs), ids, n
 
 
 def predict():
@@ -134,6 +137,12 @@ def predict():
 
     if not FLAGS.video:
         raise ValueError("--video is required")
+    from tennis_tpu.utils.tunnel import ensure_live_backend
+
+    if not ensure_live_backend():
+        # tunneled TPU registration hangs (not errors) when the tunnel is
+        # down; run on CPU rather than wedging a production inference job
+        logging.warning("TPU tunnel unreachable — falling back to CPU")
     classes = load_classes(FLAGS.root)
     stem = os.path.splitext(os.path.basename(FLAGS.video))[0]
     out_dir = FLAGS.out_dir or os.path.join("predictions", stem)
@@ -173,14 +182,14 @@ def predict():
 
     tic = time.time()
     all_probs, all_ids = [], []
-    gen = ((batch, ids, n) for batch, ids, n in _stream_batches(
-        FLAGS.video, FLAGS.every, FLAGS.batch_size, FLAGS.data_shape,
-        FLAGS.max_frames, frames_dir))
-    # decode/geometry overlaps device compute (loader-side prefetch thread)
-    for images, ids, n in prefetch_to_device(gen):
+    # decode/geometry overlaps device compute (loader-side prefetch thread);
+    # ids are a plain list and n an int, so only the image array is device_put
+    for images, ids, n in prefetch_to_device(_stream_batches(
+            FLAGS.video, FLAGS.every, FLAGS.batch_size, FLAGS.data_shape,
+            FLAGS.max_frames, frames_dir)):
         probs = eval_step(state.params, state.batch_stats, images)
         all_probs.append(np.asarray(jax.device_get(probs))[:n])
-        all_ids.append(np.asarray(ids)[:n])
+        all_ids.append(np.asarray(ids[:n], np.int64))
     if not all_probs:
         raise ValueError(f"no frames decoded from {FLAGS.video}")
     probs = np.concatenate(all_probs)

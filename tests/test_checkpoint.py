@@ -109,3 +109,17 @@ def test_load_state_restores_device_placement(tmp_path):
     restored_host = ckpt.load_state(path, host_template)
     assert all(isinstance(l, np.ndarray)
                for l in jax.tree_util.tree_leaves(restored_host))
+
+
+def test_ensure_live_backend_noop_when_initialized(monkeypatch):
+    # once a backend exists (conftest pins the CPU platform) the guard must
+    # return True without spawning the (150 s budget) probe subprocess
+    from tennis_tpu.utils import tunnel
+
+    jax.devices()
+
+    def boom(*a, **k):
+        raise AssertionError("probe subprocess must not run")
+
+    monkeypatch.setattr(tunnel, "tpu_reachable", boom)
+    assert tunnel.ensure_live_backend() is True
