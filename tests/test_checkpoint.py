@@ -123,3 +123,16 @@ def test_ensure_live_backend_noop_when_initialized(monkeypatch):
 
     monkeypatch.setattr(tunnel, "tpu_reachable", boom)
     assert tunnel.ensure_live_backend() is True
+
+
+def test_tpu_reachable_timeout_is_unreachable(monkeypatch):
+    # a hung axon registration surfaces as subprocess timeout -> False
+    import subprocess
+
+    from tennis_tpu.utils import tunnel
+
+    def fake_run(*a, **k):
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=k.get("timeout"))
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    assert tunnel.tpu_reachable(timeout_s=0.01) is False
