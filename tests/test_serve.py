@@ -1,0 +1,120 @@
+"""HTTP serving driver: decode → coalesced static-batch inference → JSON."""
+import json
+import os
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+def test_serve_endpoint(tmp_path, monkeypatch):
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    from http.server import ThreadingHTTPServer
+
+    from tennis_tpu import serve as serve_mod
+    from tennis_tpu.models import FrameModel, get_backbone
+    from tennis_tpu.parallel import create_train_state, sgd_with_schedule
+    from tennis_tpu.utils import checkpoint as ckpt
+
+    monkeypatch.chdir(tmp_path)  # experiment dirs are cwd-relative
+
+    # an experiment checkpoint without a training run: init + save + score
+    model = FrameModel(get_backbone("resnet18_v2", dtype=jnp.bfloat16),
+                       num_classes=11, dtype=jnp.bfloat16)
+    tx, _ = sgd_with_schedule(0.001)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 3), jnp.float32),
+                               tx, {"train": True})
+    exp = os.path.join("models", "vision", "experiments", "s1")
+    os.makedirs(exp)
+    ckpt.save_state(ckpt.epoch_path(exp, 0), state)
+    ckpt.append_score(exp, 0, 0.5)
+
+    serve_mod.FLAGS.unparse_flags()
+    serve_mod.FLAGS(["serve.py", "--model_id=s1", "--backbone=resnet18_v2",
+                     "--data_shape=32", "--batch_size=4", "--max_wait_ms=30"])
+    handler, batcher = serve_mod.build_service()
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    url = "http://127.0.0.1:%d" % httpd.server_address[1]
+
+    rng = np.random.default_rng(0)
+    ok, enc = cv2.imencode(".jpg", rng.integers(0, 255, (48, 64, 3))
+                           .astype(np.uint8))
+    assert ok
+    data = enc.tobytes()
+
+    def post():
+        req = urllib.request.Request(url + "/predict", data=data,
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return json.loads(r.read())
+
+    # concurrent posts exercise request coalescing into one device batch
+    results = [None] * 3
+    posters = [threading.Thread(target=lambda i=i: results.__setitem__(
+        i, post())) for i in range(3)]
+    for p in posters:
+        p.start()
+    for p in posters:
+        p.join()
+    for r in results:
+        assert r["label"] in r["classes"]
+        assert len(r["probs"]) == len(r["classes"]) == 11
+        assert abs(sum(r["probs"]) - 1.0) < 1e-3
+    # identical inputs → identical rows, batched or padded either way
+    assert results[0]["probs"] == results[1]["probs"] == results[2]["probs"]
+
+    with urllib.request.urlopen(url + "/healthz", timeout=60) as r:
+        health = json.loads(r.read())
+    assert health["status"] == "ok"
+    assert health["requests"] == 3
+    assert health["batches"] == batcher.batches >= 1
+
+    # a non-image body is a clean 400, not a 500
+    bad = urllib.request.Request(url + "/predict", data=b"not a jpeg",
+                                 method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(bad, timeout=60)
+    assert e.value.code == 400
+
+    httpd.shutdown()
+    httpd.server_close()
+
+
+def test_batcher_coalesces_and_pads():
+    from tennis_tpu.serve import Batcher
+
+    seen = []
+
+    def fn(batch):
+        seen.append(batch.shape[0])
+        return batch[:, 0, 0, :].astype(np.float64)  # row-identifying output
+
+    b = Batcher(fn, batch_size=4, max_wait_s=0.2)
+    imgs = [np.full((2, 2, 3), i, np.uint8) for i in range(3)]
+    out = [None] * 3
+    ts = [threading.Thread(target=lambda i=i: out.__setitem__(
+        i, b.submit(imgs[i]))) for i in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    # every waiter got ITS row back, every run used the static batch shape
+    for i in range(3):
+        np.testing.assert_array_equal(out[i], np.full(3, i, np.float64))
+    assert set(seen) == {4}
+    assert b.rows == 3
+
+    # device-side errors surface on the waiting request, not the dispatcher
+    def boom(batch):
+        raise RuntimeError("device on fire")
+
+    eb = Batcher(boom, batch_size=2, max_wait_s=0.01)
+    with pytest.raises(RuntimeError, match="device on fire"):
+        eb.submit(imgs[0])
