@@ -113,12 +113,7 @@ def evaluate_model():
         src_dir = experiment_dir("vision", FLAGS.feats_model)
     elif pool_eval and FLAGS.backbone_from_id:
         src_dir = experiment_dir("vision", FLAGS.backbone_from_id)
-    best = ckpt.best_epoch(src_dir)
-    if best is None:
-        latest = ckpt.latest_epoch(src_dir)
-        if latest is None:
-            raise FileNotFoundError(f"no checkpoints or scores.txt in {src_dir}")
-        best = (latest, float("nan"))
+    best = ckpt.best_or_latest(src_dir)
     state = ckpt.load_state(ckpt.epoch_path(src_dir, best[0]), state)
     logging.info("loaded epoch %d (score=%s) from %s", best[0], best[1], src_dir)
 

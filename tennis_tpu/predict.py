@@ -123,27 +123,16 @@ def _stream_batches(video_path: str, every: int, batch: int, data_shape: int,
 
 
 def predict():
-    import jax
-    import jax.numpy as jnp
-
     from tennis_tpu.data.loader import prefetch_to_device
-    from tennis_tpu.data.tennis_set import load_classes
-    from tennis_tpu.data.transforms import device_prepare
-    from tennis_tpu.models import FrameModel, get_backbone
-    from tennis_tpu.parallel import create_train_state, sgd_with_schedule
-    from tennis_tpu.parallel.mesh import driver_compiler_options
-    from tennis_tpu.utils import checkpoint as ckpt
-    from tennis_tpu.utils.experiments import experiment_dir
+    from tennis_tpu.inference import load_classifier
+    from tennis_tpu.utils.tunnel import ensure_live_backend
 
     if not FLAGS.video:
         raise ValueError("--video is required")
-    from tennis_tpu.utils.tunnel import ensure_live_backend
-
     if not ensure_live_backend():
         # tunneled TPU registration hangs (not errors) when the tunnel is
         # down; run on CPU rather than wedging a production inference job
         logging.warning("TPU tunnel unreachable — falling back to CPU")
-    classes = load_classes(FLAGS.root)
     stem = os.path.splitext(os.path.basename(FLAGS.video))[0]
     out_dir = FLAGS.out_dir or os.path.join("predictions", stem)
     os.makedirs(out_dir, exist_ok=True)
@@ -152,33 +141,10 @@ def predict():
         frames_dir = os.path.join(out_dir, "frames")
         os.makedirs(frames_dir, exist_ok=True)
 
-    # best epoch of the experiment, placed on device once (load_state contract)
-    model = FrameModel(get_backbone(FLAGS.backbone, dtype=jnp.bfloat16),
-                       num_classes=len(classes), dtype=jnp.bfloat16)
-    tx, _ = sgd_with_schedule(0.001)
-    state = create_train_state(
-        model, jax.random.PRNGKey(0),
-        jnp.zeros((1, FLAGS.data_shape, FLAGS.data_shape, 3), jnp.float32),
-        tx, {"train": True},
-    )
-    exp_dir = experiment_dir("vision", FLAGS.model_id)
-    best = ckpt.best_epoch(exp_dir)
-    if best is None:
-        latest = ckpt.latest_epoch(exp_dir)
-        if latest is None:
-            raise FileNotFoundError(f"no checkpoints in {exp_dir}")
-        best = (latest, float("nan"))
-    state = ckpt.load_state(ckpt.epoch_path(exp_dir, best[0]), state)
-    logging.info("loaded epoch %d (score=%s) from %s", best[0], best[1], exp_dir)
-
-    from functools import partial
-
-    @partial(jax.jit, compiler_options=driver_compiler_options(FLAGS.backbone))
-    def eval_step(params, batch_stats, images):
-        x = device_prepare(images)
-        logits = model.apply({"params": params, "batch_stats": batch_stats},
-                             x, train=False)
-        return jax.nn.softmax(logits, axis=-1)
+    # best epoch into the shared jitted scorer (tennis_tpu/inference.py),
+    # placed on device once (load_state contract)
+    classes, predict_probs, _info = load_classifier(
+        FLAGS.backbone, FLAGS.model_id, FLAGS.data_shape, FLAGS.root)
 
     tic = time.time()
     all_probs, all_ids = [], []
@@ -187,8 +153,7 @@ def predict():
     for images, ids, n in prefetch_to_device(_stream_batches(
             FLAGS.video, FLAGS.every, FLAGS.batch_size, FLAGS.data_shape,
             FLAGS.max_frames, frames_dir)):
-        probs = eval_step(state.params, state.batch_stats, images)
-        all_probs.append(np.asarray(jax.device_get(probs))[:n])
+        all_probs.append(predict_probs(images)[:n])
         all_ids.append(np.asarray(ids[:n], np.int64))
     if not all_probs:
         raise ValueError(f"no frames decoded from {FLAGS.video}")

@@ -59,6 +59,10 @@ flags.DEFINE_integer("max_wait_ms", 5,
                      "Max wait after the first queued request before "
                      "dispatching a partial batch", lower_bound=0,
                      flag_values=FLAGS)
+flags.DEFINE_integer("request_timeout_s", 120,
+                     "Per-request wait on the device batch before answering "
+                     "503; /healthz reports 'stalled' past the same bound",
+                     lower_bound=1, flag_values=FLAGS)
 
 _MAX_BODY = 32 * 2**20  # reject absurd uploads before reading them
 
@@ -99,17 +103,26 @@ class Batcher:
         self._q: queue.Queue = queue.Queue()
         self.batches = 0
         self.rows = 0
+        # monotonic start of the device call in flight, None when idle: the
+        # tunneled TPU HANGS (not errors) when the tunnel dies, and a wedged
+        # dispatcher must show up on /healthz, not keep answering 'ok'
+        self.inflight_since: float | None = None
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
-    def submit(self, img: np.ndarray):
+    def submit(self, img: np.ndarray, timeout: float | None = None):
         done = threading.Event()
         box: list = [None, None]  # result row | exception
         self._q.put((img, done, box))
-        done.wait()
+        if not done.wait(timeout):
+            raise TimeoutError("inference batch did not complete in time")
         if box[1] is not None:
             raise box[1]
         return box[0]
+
+    def stalled(self, bound_s: float) -> bool:
+        start = self.inflight_since
+        return start is not None and time.monotonic() - start > bound_s
 
     def _drain(self):
         first = self._q.get()  # block until there is work
@@ -131,80 +144,48 @@ class Batcher:
             n = len(items)
             imgs = [it[0] for it in items]
             imgs.extend([imgs[-1]] * (self._batch - n))  # edge-pad: static shape
+            self.inflight_since = time.monotonic()
             try:
                 out = np.asarray(self._fn(np.stack(imgs)))
+                # count BEFORE waking waiters: a /healthz racing the released
+                # requests must never see requests > 0 with batches == 0
+                self.batches += 1
+                self.rows += n
                 for i, (_, done, box) in enumerate(items):
                     box[0] = out[i]
                     done.set()
             except Exception as e:  # surface device errors on every waiter
+                self.batches += 1
+                self.rows += n
                 for _, done, box in items:
                     box[1] = e
                     done.set()
-            self.batches += 1
-            self.rows += n
+            finally:
+                self.inflight_since = None
 
 
 def build_service():
-    """Load the experiment's best checkpoint and return (handler_cls, state).
+    """Load the experiment's best checkpoint and return (handler_cls, batcher).
 
     Split from ``serve()`` so tests can mount the handler on an ephemeral-port
     server without going through flag parsing twice.
     """
-    import jax
-    import jax.numpy as jnp
-
-    from tennis_tpu.data.tennis_set import load_classes
-    from tennis_tpu.data.transforms import device_prepare
-    from tennis_tpu.models import FrameModel, get_backbone
-    from tennis_tpu.parallel import create_train_state, sgd_with_schedule
-    from tennis_tpu.parallel.mesh import driver_compiler_options
-    from tennis_tpu.utils import checkpoint as ckpt
-    from tennis_tpu.utils.experiments import experiment_dir
+    from tennis_tpu.inference import load_classifier
     from tennis_tpu.utils.tunnel import ensure_live_backend
 
     if not ensure_live_backend():
         logging.warning("TPU tunnel unreachable — serving on CPU")
 
-    classes = load_classes(FLAGS.root)
-    model = FrameModel(get_backbone(FLAGS.backbone, dtype=jnp.bfloat16),
-                       num_classes=len(classes), dtype=jnp.bfloat16)
-    tx, _ = sgd_with_schedule(0.001)
-    state = create_train_state(
-        model, jax.random.PRNGKey(0),
-        jnp.zeros((1, FLAGS.data_shape, FLAGS.data_shape, 3), jnp.float32),
-        tx, {"train": True},
-    )
-    exp_dir = experiment_dir("vision", FLAGS.model_id)
-    best = ckpt.best_epoch(exp_dir)
-    if best is None:
-        latest = ckpt.latest_epoch(exp_dir)
-        if latest is None:
-            raise FileNotFoundError(f"no checkpoints in {exp_dir}")
-        best = (latest, float("nan"))
-    state = ckpt.load_state(ckpt.epoch_path(exp_dir, best[0]), state)
-    logging.info("serving epoch %d (score=%s) from %s", best[0], best[1],
-                 exp_dir)
-
-    from functools import partial
-
-    @partial(jax.jit, compiler_options=driver_compiler_options(FLAGS.backbone))
-    def eval_step(params, batch_stats, images):
-        x = device_prepare(images)
-        logits = model.apply({"params": params, "batch_stats": batch_stats},
-                             x, train=False)
-        return jax.nn.softmax(logits, axis=-1)
-
-    def run(images: np.ndarray) -> np.ndarray:
-        return jax.device_get(eval_step(state.params, state.batch_stats,
-                                        images))
+    classes, predict_probs, _info = load_classifier(
+        FLAGS.backbone, FLAGS.model_id, FLAGS.data_shape, FLAGS.root)
 
     # compile + warm before accepting traffic: the first request must not eat
     # the (potentially minutes-long) DenseNet compile
-    run(np.zeros((FLAGS.batch_size, FLAGS.data_shape, FLAGS.data_shape, 3),
-                 np.uint8))
-    batcher = Batcher(run, FLAGS.batch_size, FLAGS.max_wait_ms / 1e3)
+    predict_probs(np.zeros(
+        (FLAGS.batch_size, FLAGS.data_shape, FLAGS.data_shape, 3), np.uint8))
+    batcher = Batcher(predict_probs, FLAGS.batch_size, FLAGS.max_wait_ms / 1e3)
     data_shape = FLAGS.data_shape
-    served = {"requests": 0}
+    timeout_s = float(FLAGS.request_timeout_s)
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, payload: dict):
@@ -218,9 +199,10 @@ def build_service():
         def do_GET(self):
             if self.path != "/healthz":
                 return self._reply(404, {"error": "unknown path"})
-            self._reply(200, {
-                "status": "ok",
-                "requests": served["requests"],
+            stalled = batcher.stalled(timeout_s)
+            self._reply(503 if stalled else 200, {
+                "status": "stalled" if stalled else "ok",
+                "requests": batcher.rows,
                 "batches": batcher.batches,
                 "mean_rows_per_batch": round(
                     batcher.rows / max(batcher.batches, 1), 2),
@@ -229,16 +211,26 @@ def build_service():
         def do_POST(self):
             if self.path != "/predict":
                 return self._reply(404, {"error": "unknown path"})
-            length = int(self.headers.get("Content-Length") or 0)
-            if not 0 < length <= _MAX_BODY:
-                return self._reply(413 if length else 400,
+            try:
+                length = int(self.headers.get("Content-Length") or 0)
+            except ValueError:
+                return self._reply(400, {"error": "bad Content-Length"})
+            if length <= 0:
+                return self._reply(400,
                                    {"error": f"bad Content-Length {length}"})
+            if length > _MAX_BODY:
+                return self._reply(413, {"error": f"body over {_MAX_BODY}B"})
             try:
                 img = decode_rgb(self.rfile.read(length), data_shape)
             except ValueError as e:
                 return self._reply(400, {"error": str(e)})
-            probs = batcher.submit(img)
-            served["requests"] += 1
+            try:
+                probs = batcher.submit(img, timeout=timeout_s)
+            except TimeoutError:
+                return self._reply(503, {"error": "inference timed out"})
+            except Exception as e:  # device-side failure: a 500, not a
+                logging.exception("batch failed")  # dropped connection
+                return self._reply(500, {"error": f"{type(e).__name__}: {e}"})
             self._reply(200, {
                 "label": classes[int(np.argmax(probs))],
                 "probs": [round(float(p), 6) for p in probs],

@@ -105,6 +105,19 @@ def best_epoch(exp_dir: str) -> tuple[int, float] | None:
     return best
 
 
+def best_or_latest(exp_dir: str) -> tuple[int, float]:
+    """Best epoch by scores.txt, else the latest checkpoint (score nan), else
+    FileNotFoundError — the selection rule every eval-side driver shares."""
+    best = best_epoch(exp_dir)
+    if best is None:
+        latest = latest_epoch(exp_dir)
+        if latest is None:
+            raise FileNotFoundError(
+                f"no checkpoints or scores.txt in {exp_dir}")
+        best = (latest, float("nan"))
+    return best
+
+
 def resume_epoch(exp_dir: str) -> int:
     """First epoch to run: newest checkpoint + 1, or 0 if none."""
     latest = latest_epoch(exp_dir)

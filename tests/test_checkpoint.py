@@ -3,6 +3,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tennis_tpu.utils import checkpoint as ckpt
 
@@ -46,9 +47,19 @@ def test_scores_and_best_epoch(tmp_path):
     for e, s in [(0, 0.1), (1, 0.5), (2, 0.3)]:
         ckpt.append_score(d, e, s)
     assert ckpt.best_epoch(d) == (1, 0.5)
+    assert ckpt.best_or_latest(d) == (1, 0.5)
     with open(os.path.join(d, "scores.txt")) as f:
         lines = f.read().splitlines()
     assert lines[0] == "0\t0.1"
+
+
+def test_best_or_latest_fallbacks(tmp_path):
+    d = str(tmp_path)
+    with pytest.raises(FileNotFoundError):
+        ckpt.best_or_latest(d)
+    ckpt.save_state(ckpt.epoch_path(d, 2), _state())
+    epoch, score = ckpt.best_or_latest(d)  # no scores.txt → newest checkpoint
+    assert epoch == 2 and np.isnan(score)
 
 
 def test_param_count():

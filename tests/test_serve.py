@@ -83,6 +83,18 @@ def test_serve_endpoint(tmp_path, monkeypatch):
         urllib.request.urlopen(bad, timeout=60)
     assert e.value.code == 400
 
+    # malformed / negative Content-Length headers are clean 400s too
+    import http.client
+
+    for bad_len in ("abc", "-5"):
+        conn = http.client.HTTPConnection("127.0.0.1",
+                                          httpd.server_address[1], timeout=60)
+        conn.putrequest("POST", "/predict")
+        conn.putheader("Content-Length", bad_len)
+        conn.endheaders()
+        assert conn.getresponse().status == 400
+        conn.close()
+
     httpd.shutdown()
     httpd.server_close()
 
@@ -118,3 +130,34 @@ def test_batcher_coalesces_and_pads():
     eb = Batcher(boom, batch_size=2, max_wait_s=0.01)
     with pytest.raises(RuntimeError, match="device on fire"):
         eb.submit(imgs[0])
+
+
+def test_batcher_stall_detection_and_timeout():
+    import time
+
+    from tennis_tpu.serve import Batcher
+
+    entered = threading.Event()
+
+    def slow(batch):
+        entered.set()
+        time.sleep(0.4)
+        return batch[:, 0, 0, :].astype(np.float64)
+
+    b = Batcher(slow, batch_size=1, max_wait_s=0.0)
+    img = np.zeros((2, 2, 3), np.uint8)
+
+    # a hung device call must show up as stalled while in flight…
+    waiter = threading.Thread(target=lambda: b.submit(img))
+    waiter.start()
+    assert entered.wait(5)
+    time.sleep(0.1)
+    assert b.stalled(0.05)
+    assert not b.stalled(10)
+    waiter.join()
+    # …and clear once the dispatcher is idle again
+    assert not b.stalled(0.05)
+
+    # submit() with a timeout answers instead of parking forever
+    with pytest.raises(TimeoutError):
+        Batcher(slow, batch_size=1, max_wait_s=0.0).submit(img, timeout=0.05)
