@@ -75,7 +75,10 @@ def count_end_swaps(set_score: str, game_score: str, point_score: str) -> int:
     if sum(set_split) < MAX_SETS and sum(game_split) == 13:  # tiebreak game
         point_split = point_score.split("-")
         if len(point_split) > 1:  # a numeric score, not 'Game'
-            swaps += (sum(int(x) for x in point_split) - 1) // 6
+            # int(x/6) truncates TOWARD ZERO like the reference
+            # (preprocess.py:196): at point score 0-0 the numerator is -1 and
+            # must contribute 0 swaps, not floor-division's -1
+            swaps += int((sum(int(x) for x in point_split) - 1) / 6)
     return swaps
 
 
@@ -105,6 +108,13 @@ def _find_point(points, start: int, end: int, context: str):
     for point in points:
         if point[3] <= middle <= point[4]:
             return point
+    if not points:
+        # keep the reference's diagnostic (preprocess.py:176) instead of an
+        # opaque min()-of-empty-sequence ValueError mid-write
+        raise ValueError(
+            f"Error in annotation file {context}: no Point events exist — "
+            "ensure all serve and hit events have some overlap with a point "
+            "event")
     nearest = min(
         points, key=lambda p: min(abs(p[3] - end), abs(start - p[4]))
     )

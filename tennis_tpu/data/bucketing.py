@@ -48,15 +48,19 @@ def bucket_keys(lengths: Sequence[int], num_buckets: int, scheme: str = "constan
 class FixedBucketSampler:
     """Yields batches of sample indices, grouped by bucket.
 
-    ``lengths`` may be ints or tuples (bucketing key = max over the tuple scaled
-    per-element — here we bucket on the tuple's first element, the source length,
-    and pad both axes within the bucket, as the reference's loaders effectively do).
+    ``lengths`` may be ints or tuples; tuples are bucketed on element
+    ``key_element`` and both axes are padded within the bucket. The reference's
+    TRAIN sampler buckets gluonnlp-jointly on (frames, caption) while we key on
+    frames alone — the axis that dominates padding waste; its VAL/TEST samplers
+    bucket on caption length only (reference utils/captioning.py:38-39,
+    ``target_*_lengths = map(x[-1], lens)``), which callers reproduce by
+    passing ``key_element=-1``.
     """
 
     def __init__(self, lengths, batch_size: int, num_buckets: int = 5,
                  scheme: str = "constant", ratio: float = 0.0,
                  shuffle: bool = False, seed: int = 0,
-                 batch_multiple: int = 1):
+                 batch_multiple: int = 1, key_element: int = 0):
         self.lengths = list(lengths)
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -74,16 +78,15 @@ class FixedBucketSampler:
             self.bucket_batch_sizes = []
             return
 
-        scalar = [l[0] if isinstance(l, (tuple, list)) else l for l in self.lengths]
+        scalar = [l[key_element] if isinstance(l, (tuple, list)) else l
+                  for l in self.lengths]
         keys = bucket_keys(scalar, num_buckets, scheme)
-        self.bucket_of = []
         buckets: list[list[int]] = [[] for _ in keys]
         for i, l in enumerate(scalar):
             for b, k in enumerate(keys):
                 if l <= k:
                     buckets[b].append(i)
                     break
-        self.keys = keys
         # batch size per bucket: larger batches for shorter buckets when ratio > 0
         # (gluonnlp's ratio semantics: scale ∝ max_key/key, floored at batch_size)
         self.bucket_batch_sizes = [
@@ -100,10 +103,14 @@ class FixedBucketSampler:
             self.bucket_batch_sizes = [
                 max(bm, bs - bs % bm) for bs in self.bucket_batch_sizes
             ]
-        self.buckets = [b for b in buckets if b]
-        self.batch_sizes = [
-            bs for b, bs in zip(buckets, self.bucket_batch_sizes) if b
-        ]
+        # drop empty buckets, keeping keys/buckets/batch_sizes ALIGNED (an
+        # unfiltered key list would misattribute stats() lines past the first
+        # empty bucket)
+        kept = [(k, b, bs) for k, b, bs in
+                zip(keys, buckets, self.bucket_batch_sizes) if b]
+        self.keys = [k for k, _, _ in kept]
+        self.buckets = [b for _, b, _ in kept]
+        self.batch_sizes = [bs for _, _, bs in kept]
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -130,8 +137,7 @@ class FixedBucketSampler:
         bm = self.batch_multiple
         total = 0
         for b, bs in zip(self.buckets, self.batch_sizes):
-            if bs - bs % bm > 0:
-                total += len(b) // bs
+            total += len(b) // bs  # bs is always a positive multiple of bm
             tail = len(b) % bs
             if tail - tail % bm > 0:
                 total += 1
@@ -154,13 +160,17 @@ class BucketedCaptionLoader:
     def __init__(self, dataset, batch_size: int, num_buckets: int = 5,
                  scheme: str = "constant", ratio: float = 0.0,
                  shuffle: bool = False, seed: int = 0, num_workers: int = 8,
-                 pad_multiple: int = 1, batch_multiple: int = 1):
+                 pad_multiple: int = 1, batch_multiple: int = 1,
+                 key_element: int = 0):
         from concurrent.futures import ThreadPoolExecutor
 
         self.dataset = dataset
+        # key_element=0 buckets on frames (train); -1 on caption length, the
+        # reference's val/test sampler key (utils/captioning.py:38-39)
         self.sampler = FixedBucketSampler(
             dataset.get_data_lens(), batch_size, num_buckets, scheme, ratio,
             shuffle, seed, batch_multiple=batch_multiple,
+            key_element=key_element,
         )
         self.num_workers = max(1, num_workers)
         self.pad_multiple = pad_multiple

@@ -131,25 +131,47 @@ def prefetch_to_device(iterator, sharding=None, buffer_size: int = 2):
     q: queue.Queue = queue.Queue(maxsize=buffer_size)
     sentinel = object()
     err = []
+    stop = threading.Event()  # consumer abandoned the generator early
 
     def producer():
         try:
             for batch in iterator:
-                q.put(put(batch))
+                item = put(batch)
+                # bounded put: if the consumer broke out of its loop, the
+                # queue stays full forever — a blocking put would pin this
+                # thread (and its device-resident batches) for process life
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except Exception as e:  # surface loader errors on the consumer side
             err.append(e)
         finally:
-            q.put(sentinel)
+            # deliver the sentinel unless the consumer already walked away
+            # (then nobody reads the queue again and it would never drain)
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()  # GeneratorExit / exception on the consumer side
 
 
 def jnp_device_put_default(x):

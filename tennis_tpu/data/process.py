@@ -1,9 +1,12 @@
 """Dataset bootstrap: videos → frames → optical flow (reference data/process.py:9-30).
 
-Run: ``python -m tennis_tpu.data.process --videos_dir data/videos ...``
+Run: ``python -m tennis_tpu.data.process --root data`` (the reference's version
+is flagless and must be run from inside the dataset directory; the dir layout
+``<root>/{videos,frames,flow}`` is unchanged).
 """
 from __future__ import annotations
 
+import argparse
 import os
 
 from tennis_tpu.data.video import video_to_frames
@@ -28,10 +31,27 @@ def img2flw(frames_dir="frames", flow_dir="flow", params_path=None):
 
 
 def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--root", default=".",
+                   help="dataset root holding videos/ (frames/ and flow/ are "
+                        "created under it)")
+    p.add_argument("--videos", nargs="*", default=list(DEFAULT_VIDEOS),
+                   help="video ids to process")
+    p.add_argument("--skip_flow", action="store_true",
+                   help="stop after frame extraction")
+    p.add_argument("--flownet_params", default=None,
+                   help="converted FlowNet-S .npz (default: random init)")
+    args = p.parse_args(argv)
+
     print("Video to Images")
-    vid2img()
-    print("Images to Flow")
-    img2flw()
+    vid2img(videos=args.videos,
+            videos_dir=os.path.join(args.root, "videos"),
+            frames_dir=os.path.join(args.root, "frames"))
+    if not args.skip_flow:
+        print("Images to Flow")
+        img2flw(frames_dir=os.path.join(args.root, "frames"),
+                flow_dir=os.path.join(args.root, "flow"),
+                params_path=args.flownet_params)
 
 
 if __name__ == "__main__":

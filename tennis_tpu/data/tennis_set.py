@@ -299,8 +299,16 @@ class TennisSet:
                 lengths[v] = max(s[1] for s in self._samples if s[0] == v)
                 continue
             chunks = sorted(d for d in os.listdir(vdir) if d.isdigit())
-            files = sorted(os.listdir(os.path.join(vdir, chunks[-1])))
-            lengths[v] = int(os.path.splitext(files[-1])[0])
+            # walk back over empty trailing chunk dirs: video_to_frames
+            # pre-creates the final chunk dir but (reference total-1 quirk)
+            # can leave it empty when total % chunk_size == 1
+            for chunk in reversed(chunks):
+                files = sorted(os.listdir(os.path.join(vdir, chunk)))
+                if files:
+                    lengths[v] = int(os.path.splitext(files[-1])[0])
+                    break
+            else:
+                raise FileNotFoundError(f"no extracted frames under {vdir}")
         return lengths
 
     # ------------------------------------------------------------------ balancing

@@ -76,8 +76,9 @@ class ThreadLocalRng:
 
 def resize_shorter(img: np.ndarray, size: int) -> np.ndarray:
     """Resize so the shorter side equals ``size`` (gluon ``Resize`` with
-    keep_ratio semantics used before CenterCrop). Handles >4 channels (the
-    6-channel RGB+flow stack) by resizing in 3-channel groups — cv2 caps at 4."""
+    keep_ratio semantics used before CenterCrop). cv2.resize is channelwise
+    and handles the 6-channel RGB+flow stack directly (the 4-channel cap only
+    applies to remap/warp)."""
     import cv2
 
     h, w = img.shape[:2]
@@ -85,14 +86,6 @@ def resize_shorter(img: np.ndarray, size: int) -> np.ndarray:
         new_h, new_w = size, max(1, round(w * size / h))
     else:
         new_h, new_w = max(1, round(h * size / w)), size
-    if img.ndim == 3 and img.shape[-1] > 4:
-        parts = [
-            cv2.resize(img[..., c : c + 3], (new_w, new_h),
-                       interpolation=cv2.INTER_LINEAR)
-            for c in range(0, img.shape[-1], 3)
-        ]
-        parts = [p if p.ndim == 3 else p[..., None] for p in parts]
-        return np.concatenate(parts, axis=-1)
     return cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
 
 

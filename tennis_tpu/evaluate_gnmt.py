@@ -53,6 +53,7 @@ def evaluate(argv=None):
             data_test, FLAGS.test_batch_size, FLAGS.num_buckets,
             FLAGS.bucket_scheme, FLAGS.bucket_ratio, shuffle=False,
             num_workers=FLAGS.num_workers, pad_multiple=8,
+            key_element=-1,  # reference val/test buckets on caption length
         )
         try:
             first = next(iter(loader))

@@ -198,11 +198,13 @@ def train(argv=None):
             data_val, FLAGS.test_batch_size, FLAGS.num_buckets,
             FLAGS.bucket_scheme, FLAGS.bucket_ratio, shuffle=False,
             num_workers=FLAGS.num_workers, pad_multiple=8,
+            key_element=-1,  # reference val/test buckets on caption length
         ),
         "test": BucketedCaptionLoader(
             data_test, FLAGS.test_batch_size, FLAGS.num_buckets,
             FLAGS.bucket_scheme, FLAGS.bucket_ratio, shuffle=False,
             num_workers=FLAGS.num_workers, pad_multiple=8,
+            key_element=-1,  # reference val/test buckets on caption length
         ),
     }
 

@@ -61,6 +61,9 @@ def test_count_end_swaps():
     assert count_end_swaps("0-0", "6-7", "3-2") == 6 + 0
     # final set (sum >= MAX_SETS) never counts tiebreak swaps
     assert count_end_swaps("3-2", "6-7", "6-1") == 6
+    # first point of a tiebreak: the reference's int((0-1)/6) truncates toward
+    # zero → 0 extra swaps; floor division would flip parity to -1 here
+    assert count_end_swaps("0-0", "6-7", "0-0") == 6 + 0
 
 
 def test_player_position_parity():
@@ -167,3 +170,40 @@ def test_video_to_frames_chunking(tmp_path):
     assert chunks == ["0000000000", "0000000005", "0000000010"]
     total = sum(len(os.listdir(os.path.join(out, c))) for c in chunks)
     assert total >= 11  # last chunk end is total-1 (reference quirk kept)
+
+
+def test_find_point_empty_points_is_a_clear_error():
+    from tennis_tpu.data.annotations import _find_point
+
+    with pytest.raises(ValueError, match="no Point events"):
+        _find_point([], 10, 20, "V999")
+
+
+def test_process_cli_skip_flow(tmp_path):
+    """python -m tennis_tpu.data.process --root <r> --skip_flow extracts
+    frames from <root>/videos without touching flow."""
+    import os
+
+    from tennis_tpu.data.process import main as process_main
+    from tennis_tpu.data.video import frames_to_video
+
+    # build one tiny source video from fixture-style frames
+    import cv2
+    import numpy as np
+
+    src = tmp_path / "videos"
+    src.mkdir()
+    frames_dir = tmp_path / "srcframes" / "x"
+    frames_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(12):
+        cv2.imwrite(str(frames_dir / f"{i:010d}.jpg"),
+                    rng.integers(0, 255, (32, 48, 3)).astype(np.uint8))
+    mp4 = frames_to_video(str(frames_dir), str(src / "V777.mp4"), fps=5)
+    assert mp4 is not None
+
+    process_main(["--root", str(tmp_path), "--videos", "V777", "--skip_flow"])
+    out = tmp_path / "frames" / "V777.mp4"
+    assert out.is_dir()
+    assert any(f.endswith(".jpg") for _, _, fs in os.walk(out) for f in fs)
+    assert not (tmp_path / "flow").exists()

@@ -145,3 +145,32 @@ def test_rouge_matches_pycoco_if_available():
     ours = rouge_l([[r.split() for r in refs[i]] for i in range(2)],
                    [hyps[i][0].split() for i in range(2)])
     assert ours == pytest.approx(theirs, rel=1e-6)
+
+
+def test_sampler_stats_aligned_past_empty_bucket():
+    """keys/buckets/batch_sizes stay aligned when a middle bucket is empty —
+    stats() used to zip unfiltered keys against filtered buckets."""
+    lengths = [1, 1, 1, 30]  # middle bucket of 3 is empty
+    s = FixedBucketSampler(lengths, batch_size=8, num_buckets=3)
+    assert len(s.keys) == len(s.buckets) == len(s.batch_sizes)
+    lines = s.stats().splitlines()[1:]
+    counts = {int(l.split("<=")[1].split(":")[0]): int(l.split()[1])
+              for l in lines}
+    assert counts[max(counts)] == 1  # the length-30 sample on the LAST key
+    assert sum(counts.values()) == 4
+
+
+def test_sampler_key_element_buckets_on_caption_length():
+    """key_element=-1 buckets tuple lengths on the caption axis (the
+    reference's val/test sampler key, utils/captioning.py:38-39)."""
+    lengths = [(100, 5), (100, 6), (2, 20), (3, 21)]
+    by_src = FixedBucketSampler(lengths, batch_size=4, num_buckets=2)
+    by_tgt = FixedBucketSampler(lengths, batch_size=4, num_buckets=2,
+                                key_element=-1)
+    def groups(s):
+        return sorted(tuple(sorted(b)) for b in s.buckets)
+    assert groups(by_src) == [(0, 1), (2, 3)]   # frames: {100,100} vs {2,3}
+    assert groups(by_tgt) == [(0, 1), (2, 3)]   # captions: {5,6} vs {20,21}
+    # and the keys reflect the chosen axis
+    assert max(by_src.keys) == 100
+    assert max(by_tgt.keys) == 21

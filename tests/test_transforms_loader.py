@@ -219,3 +219,24 @@ def test_device_augment_uses_random_order():
     outs = [np.asarray(T.device_augment(batch, jax.random.PRNGKey(k),
                                         dtype=jnp.float32)) for k in range(3)]
     assert not np.allclose(outs[0], outs[1]) and not np.allclose(outs[1], outs[2])
+
+
+def test_prefetch_producer_exits_on_abandoned_consumer():
+    """Breaking out of the consume loop must release the producer thread (it
+    used to block forever on the full queue, pinning device-resident batches
+    for process life)."""
+    import threading
+
+    import numpy as np
+
+    from tennis_tpu.data.loader import prefetch_to_device
+
+    before = set(threading.enumerate())
+    it = prefetch_to_device(iter([np.zeros(4, np.float32)] * 50),
+                            buffer_size=1)
+    next(it)  # producer running, queue full
+    new = [t for t in threading.enumerate() if t not in before]
+    assert len(new) == 1
+    it.close()  # abandon the generator early
+    new[0].join(timeout=10)
+    assert not new[0].is_alive()
