@@ -27,16 +27,21 @@ bf16 peak (197 TFLOP/s/chip), so the estimated denominator is not the only ancho
 Output contract: the driver parses the LAST JSON line on stdout, under a hard
 wall-clock budget. To make any prefix of the run a valid artifact, the headline
 extraction JSON line is printed (and flushed) IMMEDIATELY after the extraction
-phase; if the train phase completes in time, a second, richer JSON line (same
-headline fields plus the "train" row) supersedes it. Candidates are pruned to the
-measured winners from round 2 (extraction batch 128 beat 256: 1927 vs 1833 fps;
-train (128, "block") beat (96, None): 334 vs 278 samples/sec) so the whole run
-fits the budget even from a cold compilation cache. Measured warm-cache end to
-end: rc=0 in ~535 s. The persistent cache DOES hit across processes (verified
-with jax_explain_cache_misses: a warm run writes nothing new) — the residual
-~190 s extraction / ~230 s train lead time is tracing + MLIR lowering of the
-fori_loop programs and executable upload over the tunnel, none of which the
-cache covers.
+phase; richer superseding lines follow in order of importance: the train
+samples/sec row lands next (ahead of BOTH cost-analysis compiles — the mfu
+decorations matter less than the train number), then the cost analyses, then
+the static-unroll refine. A soft deadline (BENCH_SOFT_DEADLINE_S, default 470 s)
+skips the remaining OPTIONAL phases so the script exits 0 inside the driver's
+hard budget instead of being cut to rc=124 mid-compile. Candidates are pruned
+to the measured winners from round 2 (extraction batch 128 beat 256: 1927 vs
+1833 fps; train (128, "block") beat (96, None): 334 vs 278 samples/sec).
+Measured warm-cache end to end: rc=0 in ~535 s with every phase run; under
+host-CPU contention the extraction lead time alone was observed at ~440 s,
+which is what the deadline gates absorb. The persistent cache DOES hit across
+processes (verified with jax_explain_cache_misses: a warm run writes nothing
+new) — the residual ~190 s extraction / ~230 s train lead time is tracing +
+MLIR lowering of the fori_loop programs and executable upload over the tunnel,
+none of which the cache covers.
 """
 from __future__ import annotations
 
@@ -58,6 +63,20 @@ N_SHORT, N_LONG = 2, 12
 TRAIN_CANDIDATES = ((128, "block"),)
 TRAIN_N_SHORT, TRAIN_N_LONG = 2, 8
 _T0 = time.perf_counter()
+# Soft deadline: optional phases (cost analyses, the static-unroll refine) are
+# skipped once elapsed time passes this, so the script exits 0 inside the
+# driver's hard budget instead of being cut to rc=124 mid-phase. The REQUIRED
+# phases (extraction timing, train timing) always run.
+SOFT_DEADLINE_S = float(os.environ.get("BENCH_SOFT_DEADLINE_S", "470"))
+
+
+def _have_time(phase: str) -> bool:
+    elapsed = time.perf_counter() - _T0
+    if elapsed >= SOFT_DEADLINE_S:
+        print(f"# [{elapsed:7.1f}s] soft deadline {SOFT_DEADLINE_S:.0f}s "
+              f"passed: skipping {phase}", file=sys.stderr, flush=True)
+        return False
+    return True
 
 
 def _phase(msg: str) -> None:
@@ -95,12 +114,13 @@ def _flops_of(jitted, *args) -> float:
 
 def measure_train(jax, jnp, publish=None):
     """Full training step (augment → DenseNet121 fwd/bwd → SGD update) through the
-    production harness; returns the best row over batch candidates.
+    production harness; returns ``(best_row, cost_fn)`` over batch candidates.
 
     ``publish(row)`` is called as soon as each candidate's TIMING lands — before
-    the ~60 s cost-analysis lowering — so a budget cut after the timed loops
-    still leaves an artifact carrying samples/sec (tflops/mfu arrive in the
-    superseding line)."""
+    any cost-analysis lowering — so a budget cut after the timed loops still
+    leaves an artifact carrying samples/sec. ``cost_fn()`` runs the ~60 s
+    cost-analysis compile of the winning candidate and returns the row with
+    tflops/mfu filled in; the caller schedules it by priority/budget."""
     from tennis_tpu.data.transforms import device_augment
     from tennis_tpu.models import FrameModel, get_backbone
     from tennis_tpu.parallel import (
@@ -176,30 +196,35 @@ def measure_train(jax, jnp, publish=None):
             continue
         dt = max(t_long - t_short, 1e-9) / (TRAIN_N_LONG - TRAIN_N_SHORT)
         sps = batch / dt
-        if publish is not None:
-            publish({
-                "batch": batch, "remat": remat,
-                "ms_per_step": round(dt * 1e3, 1),
-                "samples_per_sec": round(sps, 1),
-                "tflops": 0.0, "mfu": 0.0,
-            })
-        flops_step = _flops_of(step, *sds)
-        _phase(f"train batch {batch} remat={remat}: cost analysis done")
-        tflops = flops_step / dt / 1e12
         row = {
             "batch": batch,
             "remat": remat,
             "ms_per_step": round(dt * 1e3, 1),
             "samples_per_sec": round(sps, 1),
-            # achieved hardware FLOP rate (XLA cost analysis of the compiled
-            # step; under remat this counts the recompute as executed work)
-            "tflops": round(tflops, 1),
-            "mfu": round(tflops / V5E_PEAK_TFLOPS, 3),
+            "tflops": 0.0,
+            "mfu": 0.0,
         }
+        if publish is not None:
+            publish(row)
         print(f"# train {row}", file=sys.stderr)
-        if best is None or sps > best["samples_per_sec"]:
-            best = row
-    return best
+        if best is None or sps > best[0]["samples_per_sec"]:
+            best = (row, step, sds, dt)
+    if best is None:
+        return None, None
+    row, step, sds, dt = best
+
+    def cost_fn():
+        # achieved hardware FLOP rate (XLA cost analysis of the compiled step;
+        # under remat this counts the recompute as executed work)
+        tflops = _flops_of(step, *sds) / dt / 1e12
+        _phase(f"train batch {row['batch']} remat={row['remat']}: "
+               "cost analysis done")
+        out = dict(row)
+        out["tflops"] = round(tflops, 1)
+        out["mfu"] = round(tflops / V5E_PEAK_TFLOPS, 3)
+        return out
+
+    return row, cost_fn
 
 
 def loader_bench():
@@ -434,28 +459,33 @@ def main():
         "mfu": 0.0,
         "train": None,
     }
-    # Flush the headline line NOW — before the cost-analysis compile — so a
-    # timeout leaves a parseable artifact (the driver takes the last JSON line).
+    # Flush the headline line NOW — before any further compile — so a timeout
+    # leaves a parseable artifact (the driver takes the last JSON line). The
+    # extraction cost analysis (another ~40 s compile) is DEFERRED until after
+    # the train row lands: the train samples/sec number matters more than the
+    # extraction mfu decoration, so it gets the earlier slot in the budget.
     print(json.dumps(result), flush=True)
-    _phase("extraction result flushed; computing cost analysis")
-
-    best_flops = (_flops_of(extract_one, variables, best_images)
-                  if best_images is not None else 0.0)
-    infer_tflops = best_fps * (best_flops / max(best_batch, 1)) / 1e12
-    result["tflops"] = round(infer_tflops, 1)
-    result["mfu"] = round(infer_tflops / V5E_PEAK_TFLOPS, 3)
-    print(json.dumps(result), flush=True)
-    _phase("extraction cost analysis done; starting train phase")
+    _phase("extraction result flushed; starting train phase")
 
     def publish_train(row):
         result["train"] = row
         print(json.dumps(result), flush=True)
 
-    train_row = measure_train(jax, jnp, publish=publish_train)
-    if train_row is not None:
-        result["train"] = train_row
+    _, train_cost_fn = measure_train(jax, jnp, publish=publish_train)
+    _phase("train timing done; extraction cost analysis")
+
+    if best_images is not None and _have_time("extraction cost analysis"):
+        best_flops = _flops_of(extract_one, variables, best_images)
+        infer_tflops = best_fps * (best_flops / max(best_batch, 1)) / 1e12
+        result["tflops"] = round(infer_tflops, 1)
+        result["mfu"] = round(infer_tflops / V5E_PEAK_TFLOPS, 3)
         print(json.dumps(result), flush=True)
-    _phase("train phase done; static-unroll extraction refine")
+    _phase("extraction cost analysis done; train cost analysis")
+
+    if train_cost_fn is not None and _have_time("train cost analysis"):
+        result["train"] = train_cost_fn()
+        print(json.dumps(result), flush=True)
+    _phase("train cost analysis done; static-unroll refine")
 
     # Optional refine: a STATIC trip count lets XLA pipeline across iterations
     # (measured ~3.5% faster than the dynamic loop: 2389 vs 2308 fps) at the
@@ -471,6 +501,10 @@ def main():
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     try:
+        if best_images is None or not _have_time("static-unroll refine"):
+            _phase("done")
+            return
+
         def timed_s(n):
             tic = time.perf_counter()
             acc = float(extract_static(variables, best_images, n))
