@@ -70,11 +70,16 @@ _T0 = time.perf_counter()
 SOFT_DEADLINE_S = float(os.environ.get("BENCH_SOFT_DEADLINE_S", "470"))
 
 
-def _have_time(phase: str) -> bool:
+def _have_time(phase: str, expected_s: float = 0.0) -> bool:
+    """Gate an OPTIONAL phase on the soft deadline, including the phase's own
+    expected duration: a ~60 s cost-analysis compile entered at deadline-1s
+    would overrun the driver's hard budget (rc=124 mid-compile), the exact
+    failure this gate exists to prevent."""
     elapsed = time.perf_counter() - _T0
-    if elapsed >= SOFT_DEADLINE_S:
+    if elapsed + expected_s >= SOFT_DEADLINE_S:
         print(f"# [{elapsed:7.1f}s] soft deadline {SOFT_DEADLINE_S:.0f}s "
-              f"passed: skipping {phase}", file=sys.stderr, flush=True)
+              f"would pass during {phase} (expected ~{expected_s:.0f}s): "
+              f"skipping it", file=sys.stderr, flush=True)
         return False
     return True
 
@@ -313,6 +318,22 @@ def loader_bench():
     print(json.dumps(result))
 
 
+def _headline_row(fps: float, batch: int) -> dict:
+    """The headline artifact schema. Every superseding JSON line main() prints
+    is an in-place refinement of this dict, so any prefix of the run carries
+    these keys — the contract tests assert against this exact constructor."""
+    return {
+        "metric": "frames/sec/chip (DenseNet121-512 feature extraction)",
+        "value": round(fps, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / MXNET_BASELINE_FPS, 2),
+        "batch": batch,
+        "tflops": 0.0,
+        "mfu": 0.0,
+        "train": None,
+    }
+
+
 def _emit_outage_artifact(reason: str) -> None:
     """Honest, PARSEABLE artifact instead of hanging to rc=124: value 0.0
     (nothing was measured now); the recorded numbers are from this round's
@@ -449,16 +470,7 @@ def main():
         if fps > best_fps:
             best_fps, best_batch, best_images = fps, batch, images
 
-    result = {
-        "metric": "frames/sec/chip (DenseNet121-512 feature extraction)",
-        "value": round(best_fps, 1),
-        "unit": "frames/sec",
-        "vs_baseline": round(best_fps / MXNET_BASELINE_FPS, 2),
-        "batch": best_batch,
-        "tflops": 0.0,
-        "mfu": 0.0,
-        "train": None,
-    }
+    result = _headline_row(best_fps, best_batch)
     # Flush the headline line NOW — before any further compile — so a timeout
     # leaves a parseable artifact (the driver takes the last JSON line). The
     # extraction cost analysis (another ~40 s compile) is DEFERRED until after
@@ -471,10 +483,17 @@ def main():
         result["train"] = row
         print(json.dumps(result), flush=True)
 
-    _, train_cost_fn = measure_train(jax, jnp, publish=publish_train)
+    best_train_row, train_cost_fn = measure_train(jax, jnp,
+                                                  publish=publish_train)
+    if best_train_row is not None and result["train"] != best_train_row:
+        # publish() emitted each candidate as its timing landed; make sure the
+        # artifact carries the BEST row, not merely the last-tried one
+        result["train"] = best_train_row
+        print(json.dumps(result), flush=True)
     _phase("train timing done; extraction cost analysis")
 
-    if best_images is not None and _have_time("extraction cost analysis"):
+    if best_images is not None and _have_time("extraction cost analysis",
+                                              expected_s=45.0):
         best_flops = _flops_of(extract_one, variables, best_images)
         infer_tflops = best_fps * (best_flops / max(best_batch, 1)) / 1e12
         result["tflops"] = round(infer_tflops, 1)
@@ -482,7 +501,8 @@ def main():
         print(json.dumps(result), flush=True)
     _phase("extraction cost analysis done; train cost analysis")
 
-    if train_cost_fn is not None and _have_time("train cost analysis"):
+    if train_cost_fn is not None and _have_time("train cost analysis",
+                                                expected_s=75.0):
         result["train"] = train_cost_fn()
         print(json.dumps(result), flush=True)
     _phase("train cost analysis done; static-unroll refine")
@@ -501,7 +521,8 @@ def main():
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     try:
-        if best_images is None or not _have_time("static-unroll refine"):
+        if best_images is None or not _have_time("static-unroll refine",
+                                                 expected_s=60.0):
             _phase("done")
             return
 

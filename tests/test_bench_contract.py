@@ -9,10 +9,17 @@ hardware by the driver; these tests pin the host-side logic.
 import importlib
 import json
 import sys
+from pathlib import Path
+
+_REPO_ROOT = str(Path(__file__).resolve().parents[1])
 
 
 def _fresh_bench(monkeypatch, deadline: str):
     monkeypatch.setenv("BENCH_SOFT_DEADLINE_S", deadline)
+    # `bench` lives at the repo root, which is only on sys.path when pytest is
+    # launched from there — pin it so `pytest tests/...` works from any cwd
+    if _REPO_ROOT not in sys.path:
+        sys.path.insert(0, _REPO_ROOT)
     sys.modules.pop("bench", None)
     return importlib.import_module("bench")
 
@@ -21,11 +28,20 @@ def test_have_time_gates_on_soft_deadline(monkeypatch, capsys):
     bench = _fresh_bench(monkeypatch, "0")
     # elapsed since import is >= 0, so a 0-second deadline is already past
     assert bench._have_time("anything-optional") is False
-    assert "skipping anything-optional" in capsys.readouterr().err
+    assert "skipping" in capsys.readouterr().err
 
     bench = _fresh_bench(monkeypatch, "100000")
     assert bench._have_time("anything-optional") is True
     assert capsys.readouterr().err == ""
+
+
+def test_have_time_accounts_for_expected_phase_cost(monkeypatch, capsys):
+    """A phase whose own expected duration would cross the deadline is skipped
+    even though the deadline has not YET passed (prevents rc=124 mid-compile)."""
+    bench = _fresh_bench(monkeypatch, "100000")
+    assert bench._have_time("cheap", expected_s=1.0) is True
+    assert bench._have_time("a-60s-compile", expected_s=1e9) is False
+    assert "a-60s-compile" in capsys.readouterr().err
 
 
 def test_outage_artifact_is_parseable_last_line(monkeypatch, capsys):
@@ -44,13 +60,16 @@ def test_outage_artifact_is_parseable_last_line(monkeypatch, capsys):
 
 def test_result_schema_prefixes_are_supersets(monkeypatch):
     """Every superseding line keeps the headline keys: a consumer of ANY
-    prefix of the run sees the same schema, only with richer values."""
+    prefix of the run sees the same schema, only with richer values. Asserted
+    against the REAL constructor main() uses (bench._headline_row), so schema
+    drift in the code fails here."""
     bench = _fresh_bench(monkeypatch, "470")
-    headline = {
-        "metric": "frames/sec/chip (DenseNet121-512 feature extraction)",
-        "value": 1.0, "unit": "frames/sec", "vs_baseline": 0.01,
-        "batch": 128, "tflops": 0.0, "mfu": 0.0, "train": None,
-    }
+    headline = bench._headline_row(1234.5, 128)
+    assert headline["metric"].startswith("frames/sec/chip")
+    assert headline["value"] == 1234.5
+    assert headline["unit"] == "frames/sec"
+    assert headline["vs_baseline"] == round(1234.5 / bench.MXNET_BASELINE_FPS, 2)
+    assert headline["train"] is None
     # the in-place mutations main() performs between prints
     refined = dict(headline, tflops=70.0, mfu=0.355)
     with_train = dict(refined, train={
@@ -60,3 +79,6 @@ def test_result_schema_prefixes_are_supersets(monkeypatch):
     for later in (refined, with_train):
         assert set(headline) <= set(later)
     assert bench.SOFT_DEADLINE_S == 470.0
+    # the outage artifact shares the four driver-required keys
+    outage_keys = {"metric", "value", "unit", "vs_baseline"}
+    assert outage_keys <= set(headline)
