@@ -321,10 +321,10 @@ def train_and_evaluate():
     if FLAGS.pretrained_npz:
         state = _load_pretrained_backbone(state, model, FLAGS.pretrained_npz)
 
-    # resume
-    start_epoch = ckpt.resume_epoch(exp_dir)
+    # resume (crash-safe: unreadable newest checkpoints are quarantined and
+    # the scan falls back to the next-newest)
+    start_epoch, state = ckpt.resume_state(exp_dir, state)
     if start_epoch > 0:
-        state = ckpt.load_state(ckpt.epoch_path(exp_dir, start_epoch - 1), state)
         logging.info("resumed from epoch %d", start_epoch - 1)
 
     if FLAGS.save_feats:

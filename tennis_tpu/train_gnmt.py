@@ -293,13 +293,14 @@ def train(argv=None):
     opt = optax.inject_hyperparams(_make_opt)(lr)
     opt_state = opt.init(params)
 
-    start_epoch = ckpt.resume_epoch(exp_dir)
+    # crash-safe resume: unreadable newest checkpoints are quarantined and the
+    # scan falls back to the next-newest
+    start_epoch, restored = ckpt.resume_state(
+        exp_dir,
+        {"params": params, "batch_stats": batch_stats,
+         "opt_state": opt_state},
+    )
     if start_epoch > 0:
-        restored = ckpt.load_state(
-            ckpt.epoch_path(exp_dir, start_epoch - 1),
-            {"params": params, "batch_stats": batch_stats,
-             "opt_state": opt_state},
-        )
         params, opt_state = restored["params"], restored["opt_state"]
         batch_stats = restored["batch_stats"]
         logging.info("resumed from epoch %d", start_epoch - 1)

@@ -22,16 +22,32 @@ import re
 
 import jax
 import numpy as np
+from absl import logging
 from flax import serialization
 
 _EPOCH_RE = re.compile(r"^(\d{4})\.params$")
 
 
 def save_state(path: str, state) -> None:
+    """Atomic checkpoint write: serialize to a same-directory temp file, fsync,
+    then ``os.replace``. A process killed mid-save can therefore never leave a
+    truncated ``.params`` that the resume scan would pick as the newest epoch
+    (the reference writes in place, reference train.py:497; hardened here with
+    the same temp+replace pattern used for the native .so build)."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
     host_state = jax.device_get(state)
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(host_state))
+    data = serialization.to_bytes(host_state)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise
 
 
 def load_state(path: str, target):
@@ -122,6 +138,31 @@ def resume_epoch(exp_dir: str) -> int:
     """First epoch to run: newest checkpoint + 1, or 0 if none."""
     latest = latest_epoch(exp_dir)
     return 0 if latest is None else latest + 1
+
+
+def resume_state(exp_dir: str, target) -> tuple[int, object]:
+    """Crash-safe resume: walk checkpoints newest-first, restoring the first
+    readable one. An unreadable file (e.g. truncated by a crash under a
+    pre-atomic writer, or a torn copy) is quarantined to ``<name>.corrupt``
+    and the scan continues with the next-newest epoch instead of poisoning
+    the run. Returns ``(start_epoch, state)`` — ``(0, target)`` when nothing
+    restorable exists (same contract as ``resume_epoch`` + ``load_state``,
+    reference train.py:286-295)."""
+    for epoch in reversed(list_epochs(exp_dir)):
+        path = epoch_path(exp_dir, epoch)
+        try:
+            return epoch + 1, load_state(path, target)
+        except Exception as e:
+            quarantine = path + ".corrupt"
+            try:
+                os.replace(path, quarantine)
+            except OSError:
+                quarantine = "<rename failed>"
+            logging.warning(
+                "unreadable checkpoint %s (%s: %s) — quarantined to %s, "
+                "trying the next-newest epoch", path, type(e).__name__, e,
+                quarantine)
+    return 0, target
 
 
 def param_count(params) -> int:

@@ -66,6 +66,58 @@ def test_param_count():
     assert ckpt.param_count(_state()["params"]) == 9
 
 
+def test_save_state_is_atomic_no_temp_residue(tmp_path):
+    """save_state writes via temp + os.replace; the epoch scan never sees the
+    temp file and a failed serialize leaves no residue behind."""
+    d = str(tmp_path)
+    ckpt.save_state(ckpt.epoch_path(d, 0), _state())
+    assert os.listdir(d) == ["0000.params"]
+
+    class Unserializable:
+        pass
+
+    with pytest.raises(Exception):
+        ckpt.save_state(ckpt.epoch_path(d, 1), {"bad": Unserializable()})
+    # no 0001.params and no .tmp.* residue
+    assert os.listdir(d) == ["0000.params"]
+
+
+def test_resume_state_quarantines_truncated_newest(tmp_path):
+    """A kill mid-save under a non-atomic writer leaves a truncated newest
+    .params; resume must quarantine it and restore the next-newest epoch
+    instead of crashing or poisoning the run."""
+    d = str(tmp_path)
+    state = _state()
+    for e in (0, 1):
+        good = jax.tree_util.tree_map(lambda x, e=e: x + e, state)
+        ckpt.save_state(ckpt.epoch_path(d, e), good)
+    # simulate the torn write: epoch 2 exists but is truncated garbage
+    full = open(ckpt.epoch_path(d, 1), "rb").read()
+    with open(ckpt.epoch_path(d, 2), "wb") as f:
+        f.write(full[: len(full) // 3])
+
+    zero = jax.tree_util.tree_map(jnp.zeros_like, state)
+    start_epoch, restored = ckpt.resume_state(d, zero)
+    # fell back to epoch 1 (the newest READABLE checkpoint)
+    assert start_epoch == 2
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]),
+        np.asarray(state["params"]["w"]) + 1)
+    # the bad file is quarantined, not deleted, and out of the epoch scan
+    assert os.path.exists(os.path.join(d, "0002.params.corrupt"))
+    assert ckpt.list_epochs(d) == [0, 1]
+    # a fresh resume now restores epoch 1 directly
+    start_epoch2, _ = ckpt.resume_state(d, zero)
+    assert start_epoch2 == 2
+
+
+def test_resume_state_empty_dir_returns_target(tmp_path):
+    zero = jax.tree_util.tree_map(jnp.zeros_like, _state())
+    start_epoch, restored = ckpt.resume_state(str(tmp_path), zero)
+    assert start_epoch == 0
+    assert restored is zero
+
+
 def test_orbax_roundtrip(tmp_path):
     """The pod-scale checkpoint variant (save_state_orbax/load_state_orbax):
     directory checkpoints restoring into a template, same selection surface."""
