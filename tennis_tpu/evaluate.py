@@ -26,6 +26,9 @@ FLAGS = flags.FLAGS
 flags.DEFINE_string("split", "test",
                     "the split to evaluate on: train, val, or test "
                     "(reference evaluate.py:40-41)")
+flags.DEFINE_string("metrics_out", "",
+                    "optional path: dump the PRF1 metric dict as JSON "
+                    "(machine-readable surface for tennis_tpu.parity)")
 
 
 def evaluate_model():
@@ -179,6 +182,12 @@ def evaluate_model():
     for name, value in metrics["prf1"].get():
         logging.info("test %s=%.4f", name, value)
     logging.info("confusion:\n%s", metrics["prf1"].confusion_str())
+
+    if FLAGS.metrics_out and jax.process_index() == 0:
+        import json
+
+        with open(FLAGS.metrics_out, "w") as f:
+            json.dump(metrics["prf1"].get_dict(), f)
 
     if FLAGS.vis and jax.process_index() == 0:
         # every host holds the full gathered results; one writer is enough

@@ -23,6 +23,10 @@ from tennis_tpu.train_gnmt import (
 
 flags.DEFINE_bool("force", False, "re-decode even if best_test_out.txt exists",
                   flag_values=FLAGS)
+flags.DEFINE_string("metrics_out", "",
+                    "optional path: dump the NLG metric suite as JSON "
+                    "(machine-readable surface for tennis_tpu.parity)",
+                    flag_values=FLAGS)
 
 
 def evaluate(argv=None):
@@ -132,6 +136,11 @@ def evaluate(argv=None):
     suite = nlg_metric_suite([[t] for t in test_tgt], hyps)
     for k, v in suite.items():
         logging.info("test %s=%.4f", k, v)
+    if FLAGS.metrics_out:
+        import json
+
+        with open(FLAGS.metrics_out, "w") as f:
+            json.dump(suite, f)
     return suite
 
 

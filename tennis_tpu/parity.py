@@ -1,0 +1,415 @@
+"""Executable parity harness: runs the reference's documented evaluation rows
+and gates every metric against the PARITY.md deviation tolerances.
+
+The reference's reason to exist is its published split-02 table
+(reference README.md:69-79); the documented per-row evaluation commands live at
+reference models/README.md:13-68. This module turns PARITY.md's D1-D16
+pass/fail criteria from prose into code:
+
+    python -m tennis_tpu.parity --root /data/tennis          # real-data run
+    python -m tennis_tpu.parity --dry-run                    # synthetic fixture
+
+Real mode expects the trained experiment directories (the reference ships them
+as a download, reference models/README.md:2) under the current working
+directory's ``models/{vision,captioning}/experiments/`` and the dataset tree
+under ``--root``; missing 0006 features are auto-extracted first with the
+documented ``--save_feats`` command (reference models/README.md:49-51). Each
+row then runs the SAME driver CLI the reference documents, in a subprocess
+(absl flags are process-global), harvests the metric dict via
+``--metrics_out``, and gates it:
+
+- vision rows (0006/0010/0028/0031/0042): AVG_NB F1 within ±2.0 points of the
+  published row, per-class F1 within ±3.0 — except SFF/SFL (< 20 test events)
+  at ±5.0 and SNL (9/1/2 train/val/test events; published 0.0 everywhere)
+  reported but not gated [PARITY.md D3/D5];
+- captioning row (0102): BLEU-1..3 within ±1.0 [D2], BLEU-4 within ±1.5 [D13],
+  METEOR ≥ 19.5 (one-sided: the in-repo METEOR has no WordNet synonym stage
+  and reads low) [D1]; ROUGE-L/CIDEr reported but not gated (no documented
+  tolerance).
+
+``--dry-run`` exercises the complete harness machinery with zero real media:
+it synthesizes the miniature fixture (tennis_tpu.data.synthetic), trains
+tiny stand-ins for every required experiment through the production drivers,
+runs every row's evaluation, and evaluates the gates. Gate outcomes on random
+pixels are meaningless, so dry-run exit status reflects only that every row
+executed end-to-end; the table is still printed so the full code path —
+including the tolerance arithmetic — runs.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = str(Path(__file__).resolve().parents[1])
+
+CLASSES = ["OTH", "SFI", "SFF", "SFL", "SNI", "SNF", "SNL",
+           "HFL", "HFR", "HNL", "HNR"]
+
+# Published split-02 test F1 x 100 (reference img/tennis_summary.svg, decoded
+# in BASELINE.md / SURVEY.md section 6).
+PUBLISHED_F1 = {
+    "0006": [97.0, 57.9, 17.7, 13.0, 62.9, 21.6, 0.0, 74.8, 76.3, 77.5, 78.0],
+    "0010": [97.2, 67.4, 14.6, 13.4, 67.0, 19.4, 0.0, 81.8, 83.5, 79.0, 86.2],
+    "0031": [90.8, 24.4, 6.4, 1.7, 37.4, 3.9, 0.0, 39.6, 44.9, 43.7, 41.8],
+    "0028": [97.5, 62.0, 19.6, 14.1, 65.6, 21.6, 0.0, 77.1, 78.9, 81.0, 80.3],
+    "0042": [97.6, 65.0, 13.4, 13.5, 66.2, 27.9, 0.0, 80.6, 83.0, 80.3, 84.8],
+}
+
+# Published captioning metrics, model 0102 test split
+# (reference img/tennis_cap_summary.svg, decoded in BASELINE.md).
+PUBLISHED_0102 = {
+    "Bleu_1": 46.7, "Bleu_2": 30.7, "Bleu_3": 22.1, "Bleu_4": 16.4,
+    "METEOR": 22.6, "ROUGE_L": 43.9, "CIDEr": 96.4,
+}
+
+# Tolerances, codified from PARITY.md's deviation table.
+AVG_NB_TOL = 2.0            # D3
+PER_CLASS_TOL = 3.0         # D3
+TINY_CLASS_TOL = 5.0        # D5: SFF/SFL have < 20 test events
+UNGATED_CLASSES = {"SNL"}   # D5: 9/1/2 events; published 0.0 everywhere
+BLEU_TOL = 1.0              # D2
+BLEU4_TOL = 1.5             # D13
+METEOR_FLOOR = 19.5         # D1 (one-sided)
+
+ALL_ROWS = ("0006", "0010", "0028", "0031", "0042", "0102")
+
+# Documented evaluation flags per row (reference models/README.md:13-68),
+# minus --model_id/--root/--metrics_out which the harness appends.
+ROW_EVAL_FLAGS = {
+    "0006": ["--backbone", "DenseNet121"],
+    "0010": ["--backbone", "DenseNet121", "--flow", "twos"],
+    "0031": ["--backbone", "rdnet", "--window", "8", "--data_shape", "224"],
+    "0028": ["--backbone", "DenseNet121", "--temp_pool", "mean",
+             "--window", "15", "--backbone_from_id", "0006",
+             "--feats_model", "0006"],
+    "0042": ["--backbone", "DenseNet121", "--temp_pool", "gru",
+             "--window", "30", "--backbone_from_id", "0006",
+             "--feats_model", "0006", "--freeze_backbone"],
+    "0102": ["--num_hidden", "256", "--backbone_from_id", "0006",
+             "--feats_model", "0006"],
+}
+
+# Dry-run stand-in hyperparameters: tiny enough for the synthetic fixture on
+# CPU, same driver code paths (mirrors tests/test_drivers_smoke.py).
+_DRY_VISION = ["--backbone", "resnet18_v2", "--data_shape", "32",
+               "--batch_size", "8", "--num_workers", "2"]
+DRY_EVAL_FLAGS = {
+    "0006": list(_DRY_VISION),
+    "0010": _DRY_VISION + ["--flow", "twos"],
+    "0031": ["--backbone", "rdnet", "--window", "8", "--data_shape", "32",
+             "--batch_size", "4", "--num_workers", "2", "--num_devices", "1"],
+    "0028": _DRY_VISION + ["--temp_pool", "mean", "--window", "4",
+                           "--backbone_from_id", "0006",
+                           "--feats_model", "0006"],
+    "0042": _DRY_VISION + ["--temp_pool", "gru", "--window", "4",
+                           "--backbone_from_id", "0006",
+                           "--feats_model", "0006", "--freeze_backbone"],
+    "0102": ["--num_hidden", "16", "--emb_size", "8", "--num_buckets", "2",
+             "--tgt_max_len", "10", "--test_batch_size", "4", "--emb_file=",
+             "--feats_model", "0006", "--force"],
+}
+
+# Dry-run training commands, in dependency order: the 0006 stand-in trains
+# first, its features are dumped (train --save_feats, reference
+# train.py:266-284), then the feature-consuming rows train on them. 0028 is
+# evaluation-only (the temp-pool wrap of the 0006 donor, reference
+# evaluate.py:224-244).
+DRY_TRAIN_STEPS = [
+    ("train", "0006", _DRY_VISION + ["--epochs", "1", "--log_interval", "10"]),
+    ("train", "0006", _DRY_VISION + ["--save_feats"]),
+    ("train", "0010", _DRY_VISION + ["--flow", "twos", "--epochs", "1",
+                                     "--max_batches", "2",
+                                     "--log_interval", "5"]),
+    ("train", "0031", ["--backbone", "rdnet", "--window", "8",
+                       "--data_shape", "32", "--batch_size", "4",
+                       "--epochs", "1", "--max_batches", "2",
+                       "--num_workers", "2", "--num_devices", "1",
+                       "--log_interval", "5"]),
+    ("train", "0042", _DRY_VISION + ["--feats_model", "0006", "--temp_pool",
+                                     "gru", "--window", "4", "--epochs", "1",
+                                     "--max_batches", "3",
+                                     "--log_interval", "5"]),
+    ("train_gnmt", "0102", ["--feats_model", "0006", "--epochs", "1",
+                            "--batch_size", "4", "--test_batch_size", "4",
+                            "--num_hidden", "16", "--emb_size", "8",
+                            "--num_buckets", "2", "--tgt_max_len", "10",
+                            "--emb_file=", "--log_interval", "10"]),
+]
+
+
+# --------------------------------------------------------------------- gates
+
+def gate_vision(row: str, measured: dict) -> list[dict]:
+    """Gate a vision row's PRF1 dict (fractions in [0,1]) against the
+    published table. Returns one check record per metric."""
+    published = PUBLISHED_F1[row]
+    checks = []
+    pub_avg_nb = sum(published[1:]) / (len(published) - 1)
+    got_avg_nb = measured["AVG_NB_f1"] * 100.0
+    checks.append({
+        "metric": "AVG_NB_f1", "published": round(pub_avg_nb, 2),
+        "measured": round(got_avg_nb, 2), "tol": AVG_NB_TOL, "gated": True,
+        "pass": abs(got_avg_nb - pub_avg_nb) <= AVG_NB_TOL,
+    })
+    for cls, pub in zip(CLASSES, published):
+        got = measured[f"{cls}_f1"] * 100.0
+        if cls in UNGATED_CLASSES:
+            tol, gated = None, False
+        elif cls in ("SFF", "SFL"):
+            tol, gated = TINY_CLASS_TOL, True
+        else:
+            tol, gated = PER_CLASS_TOL, True
+        checks.append({
+            "metric": f"{cls}_f1", "published": pub,
+            "measured": round(got, 2), "tol": tol, "gated": gated,
+            "pass": (abs(got - pub) <= tol) if gated else None,
+        })
+    return checks
+
+
+def gate_captioning(measured: dict) -> list[dict]:
+    """Gate the 0102 NLG suite (percent scale) against the published row."""
+    checks = []
+    for k, pub in PUBLISHED_0102.items():
+        got = float(measured[k])
+        if k in ("Bleu_1", "Bleu_2", "Bleu_3"):
+            tol, gated, ok = BLEU_TOL, True, abs(got - pub) <= BLEU_TOL
+        elif k == "Bleu_4":
+            tol, gated, ok = BLEU4_TOL, True, abs(got - pub) <= BLEU4_TOL
+        elif k == "METEOR":
+            # one-sided floor: the in-repo METEOR lacks the WordNet synonym
+            # stage and can only read LOW (PARITY.md D1)
+            tol, gated, ok = METEOR_FLOOR, True, got >= METEOR_FLOOR
+        else:  # ROUGE_L / CIDEr: no documented tolerance — report only
+            tol, gated, ok = None, False, None
+        checks.append({"metric": k, "published": pub,
+                       "measured": round(got, 2), "tol": tol, "gated": gated,
+                       "pass": ok})
+    return checks
+
+
+# ------------------------------------------------------------ driver running
+
+def _exec_mode(spec_json: str) -> int:
+    """Child-process entry: pin the jax platform BEFORE first backend use
+    (env vars cannot override the sitecustomize-pinned config; an in-process
+    config update can), then dispatch to the requested driver main."""
+    spec = json.loads(spec_json)
+    if spec.get("platform"):
+        import jax
+
+        jax.config.update("jax_platforms", spec["platform"])
+    module, argv = spec["module"], spec["argv"]
+    if module in ("train", "evaluate"):
+        from absl import app
+
+        if module == "train":
+            from tennis_tpu import train as drv
+        else:
+            from tennis_tpu import evaluate as drv
+        try:
+            app.run(drv.main, argv=argv)
+        except SystemExit as e:
+            return int(e.code or 0)
+        return 0
+    if module == "train_gnmt":
+        from tennis_tpu.train_gnmt import main as m
+    elif module == "evaluate_gnmt":
+        from tennis_tpu.evaluate_gnmt import main as m
+    else:
+        raise ValueError(f"unknown driver module {module!r}")
+    m(argv)
+    return 0
+
+
+def _run_driver(module: str, argv: list[str], cwd: str, platform: str,
+                log_dir: str, tag: str) -> None:
+    """Run one driver CLI in a subprocess (absl flags are process-global, so
+    each row gets a fresh interpreter), teeing output to ``<log_dir>/<tag>.log``."""
+    spec = json.dumps({"module": module, "argv": argv, "platform": platform})
+    env = dict(os.environ)
+    parts = [REPO_ROOT] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    env["PYTHONPATH"] = os.pathsep.join(parts)
+    tic = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-m", "tennis_tpu.parity", "--_exec", spec],
+        cwd=cwd, env=env, capture_output=True, text=True,
+    )
+    os.makedirs(log_dir, exist_ok=True)
+    log_path = os.path.join(log_dir, f"{tag}.log")
+    with open(log_path, "w") as f:
+        f.write(f"$ {module} {' '.join(argv[1:])}\n--- stdout ---\n")
+        f.write(proc.stdout)
+        f.write("\n--- stderr ---\n")
+        f.write(proc.stderr)
+    print(f"#   {tag}: rc={proc.returncode} ({time.time() - tic:.0f}s) "
+          f"log={log_path}", flush=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"{tag} failed (rc={proc.returncode}); tail:\n"
+            + proc.stderr[-2000:])
+
+
+def _eval_row(row: str, root: str, cwd: str, platform: str, log_dir: str,
+              dry: bool) -> dict:
+    """Run one row's documented evaluation command and return its metric dict."""
+    flags = (DRY_EVAL_FLAGS if dry else ROW_EVAL_FLAGS)[row]
+    metrics_path = os.path.join(log_dir, f"metrics_{row}.json")
+    if row == "0102":
+        module, prog = "evaluate_gnmt", "evaluate_gnmt.py"
+    else:
+        module, prog = "evaluate", "evaluate.py"
+    argv = ([prog, f"--root={root}", "--model_id", row]
+            + list(flags) + ["--metrics_out", metrics_path])
+    _run_driver(module, argv, cwd, platform, log_dir, f"eval_{row}")
+    with open(metrics_path) as f:
+        return json.load(f)
+
+
+def _ensure_features(root: str, cwd: str, platform: str, log_dir: str) -> None:
+    """Real mode: rows 0028/0042/0102 read pre-extracted 0006 features
+    (reference models/README.md:47-51); extract them if absent, via the
+    documented all-splits dump (reference train.py:266-284)."""
+    if os.path.isdir(os.path.join(root, "features", "0006")):
+        return
+    print("# features/0006 missing - extracting with the documented "
+          "--save_feats command", flush=True)
+    _run_driver("train",
+                ["train.py", f"--root={root}", "--model_id", "0006",
+                 "--backbone", "DenseNet121", "--save_feats"],
+                cwd, platform, log_dir, "extract_feats_0006")
+
+
+# ----------------------------------------------------------------- reporting
+
+def _print_table(report: list[dict]) -> None:
+    print(f"\n{'row':6} {'metric':12} {'published':>9} {'measured':>9} "
+          f"{'tol':>6}  verdict")
+    for r in report:
+        for c in r["checks"]:
+            tol = "-" if c["tol"] is None else (
+                f">={c['tol']}" if c["metric"] == "METEOR" else f"+-{c['tol']}")
+            verdict = ("PASS" if c["pass"] else "FAIL") if c["gated"] \
+                else "report-only"
+            print(f"{r['row']:6} {c['metric']:12} {c['published']:9.2f} "
+                  f"{c['measured']:9.2f} {tol:>6}  {verdict}")
+
+
+def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv[:1] == ["--_exec"]:
+        return _exec_mode(argv[1])
+
+    p = argparse.ArgumentParser(
+        prog="python -m tennis_tpu.parity", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--root", default=None,
+                   help="dataset root (the TenniSet tree); required unless "
+                        "--dry-run")
+    p.add_argument("--rows", default=",".join(ALL_ROWS),
+                   help="comma-separated row ids to run")
+    p.add_argument("--dry-run", action="store_true",
+                   help="exercise the whole harness on the synthetic fixture "
+                        "(trains tiny stand-ins; gate outcomes are reported "
+                        "but do not affect the exit code)")
+    p.add_argument("--workdir", default=None,
+                   help="where experiment dirs live/land (default: cwd; "
+                        "dry-run default: a scratch dir)")
+    p.add_argument("--out", default="parity_report.json",
+                   help="JSON report path (relative to workdir)")
+    p.add_argument("--platform", default=None,
+                   help="jax platform override for driver subprocesses "
+                        "(dry-run default: cpu)")
+    args = p.parse_args(argv)
+
+    rows = [r.strip() for r in args.rows.split(",") if r.strip()]
+    unknown = [r for r in rows if r not in ALL_ROWS]
+    if unknown:
+        p.error(f"unknown rows {unknown}; available: {ALL_ROWS}")
+
+    if args.dry_run:
+        workdir = args.workdir or os.path.join(
+            "/tmp", f"tennis_parity_dry_{os.getpid()}")
+        os.makedirs(workdir, exist_ok=True)
+        root = args.root or os.path.join(workdir, "fixture")
+        platform = args.platform or "cpu"
+        if not os.path.isdir(os.path.join(root, "frames")):
+            from tennis_tpu.data.synthetic import build_fixture
+
+            print(f"# building synthetic fixture at {root}", flush=True)
+            build_fixture(root, with_flow=True)
+    else:
+        if not args.root:
+            p.error("--root is required (or pass --dry-run)")
+        root = args.root
+        workdir = args.workdir or os.getcwd()
+        platform = args.platform or ""
+    log_dir = os.path.join(workdir, "parity_logs")
+
+    tic = time.time()
+    if args.dry_run:
+        # train the stand-in experiments this subset of rows needs
+        needed = set(rows)
+        if needed & {"0028", "0042", "0102"}:
+            needed.add("0006")  # donor + features
+        for module, row, flags in DRY_TRAIN_STEPS:
+            if row not in needed:
+                continue
+            print(f"# dry-run: training stand-in {row} ({module})", flush=True)
+            prog = "train.py" if module == "train" else "train_gnmt.py"
+            _run_driver(module,
+                        [prog, f"--root={root}", "--model_id", row]
+                        + list(flags),
+                        workdir, platform, log_dir, f"train_{row}"
+                        + ("_feats" if "--save_feats" in flags else ""))
+    elif set(rows) & {"0028", "0042", "0102"}:
+        _ensure_features(root, workdir, platform, log_dir)
+
+    report, all_ran, all_gates_pass = [], True, True
+    for row in rows:
+        entry = {"row": row, "ok": False, "checks": []}
+        try:
+            measured = _eval_row(row, root, workdir, platform, log_dir,
+                                 args.dry_run)
+            entry["checks"] = (gate_captioning(measured) if row == "0102"
+                               else gate_vision(row, measured))
+            entry["ok"] = True
+            entry["gates_pass"] = all(
+                c["pass"] for c in entry["checks"] if c["gated"])
+            all_gates_pass &= entry["gates_pass"]
+        except Exception as e:  # keep going: report every row's status
+            entry["error"] = f"{type(e).__name__}: {e}"
+            all_ran = all_gates_pass = False
+            print(f"# row {row} FAILED to run: {entry['error']}", flush=True)
+        report.append(entry)
+
+    _print_table([r for r in report if r["ok"]])
+    result = {
+        "mode": "dry-run" if args.dry_run else "real",
+        "rows": report,
+        "all_rows_ran": all_ran,
+        "all_gates_pass": all_gates_pass if all_ran else False,
+        "wall_s": round(time.time() - tic, 1),
+    }
+    out_path = os.path.join(workdir, args.out)
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"\n# report: {out_path}")
+    if args.dry_run:
+        print(f"# dry-run {'OK' if all_ran else 'FAILED'}: "
+              f"{sum(r['ok'] for r in report)}/{len(report)} rows executed "
+              "(gate outcomes on synthetic pixels are reported only)")
+        return 0 if all_ran else 1
+    verdict = "PASS" if (all_ran and all_gates_pass) else "FAIL"
+    print(f"# parity verdict: {verdict}")
+    return 0 if verdict == "PASS" else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

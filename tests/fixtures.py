@@ -1,89 +1,13 @@
-"""Synthetic TenniSet fixture: a miniature dataset with the reference's on-disk layout
-(frames/labels/splits/points/captions), for exercising the data layer without media."""
-from __future__ import annotations
+"""Synthetic TenniSet fixture for the test suite.
 
-import os
-
-import numpy as np
-
-CLASSES = ["OTH", "SFI", "SFF", "SFL", "SNI", "SNF", "SNL", "HFL", "HFR", "HNL", "HNR"]
-
-# per-video frame label runs: (start, end_exclusive, class)
-VIDEO_EVENTS = {
-    "V900": [(0, 20, "OTH"), (20, 26, "SFI"), (26, 40, "OTH"), (40, 46, "HFL"),
-             (46, 60, "OTH")],
-    "V901": [(0, 10, "OTH"), (10, 16, "SNI"), (16, 30, "OTH"), (30, 36, "HNR"),
-             (36, 50, "OTH")],
-}
-
-POINTS = [
-    # id, video, start, end, extra-field, caption
-    # train-split points (start frame < 40)
-    ("p001", "V900", 18, 30, "x", "player serves an ace to the far side"),
-    ("p002", "V900", 38, 48, "x", "a quick forehand winner down the line"),
-    ("p003", "V901", 8, 18, "x", "player serves into the net"),
-    ("p004", "V901", 28, 38, "x", "a long rally ends with a backhand error"),
-    # val-split points (start frame in [40, 50))
-    ("p005", "V900", 42, 50, "x", "player serves an ace down the line"),
-    ("p006", "V901", 44, 50, "x", "a forehand winner to the far side"),
-    # test-split points (start frame in [50, 60); V901 only has 50 frames)
-    ("p007", "V900", 52, 58, "x", "player serves into the net again"),
-]
-
-
-def frame_label(video: str, frame: int) -> str:
-    for start, end, cls in VIDEO_EVENTS[video]:
-        if start <= frame < end:
-            return cls
-    return "OTH"
-
-
-def build_fixture(root, img_hw=(24, 32), with_flow: bool = False) -> str:
-    import cv2
-
-    root = str(root)
-    os.makedirs(os.path.join(root, "splits", "02"), exist_ok=True)
-    os.makedirs(os.path.join(root, "annotations", "labels"), exist_ok=True)
-
-    with open(os.path.join(root, "classes.names"), "w") as f:
-        f.write("\n".join(CLASSES) + "\n")
-
-    rng = np.random.default_rng(7)
-    h, w = img_hw
-    for video, events in VIDEO_EVENTS.items():
-        n_frames = events[-1][1]
-        for frame in range(n_frames):
-            img = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
-            dirs = ("frames", "flow") if with_flow else ("frames",)
-            for d in dirs:
-                chunk = frame // 1000 * 1000
-                path = os.path.join(
-                    root, d, video + ".mp4", f"{chunk:010d}", f"{frame:010d}.jpg"
-                )
-                os.makedirs(os.path.dirname(path), exist_ok=True)
-                # flow fixtures are 16 rows shorter, like the real 4x-upscaled flow
-                sub = img[: h - 16] if d == "flow" else img
-                cv2.imwrite(path, cv2.cvtColor(sub, cv2.COLOR_RGB2BGR))
-        with open(os.path.join(root, "annotations", "labels", video + ".txt"), "w") as f:
-            for frame in range(n_frames):
-                f.write(f"{frame} {frame_label(video, frame)}\n")
-
-    # split 02: both videos contribute to all splits
-    splits = {"train": (0, 40), "val": (40, 50), "test": (50, 60)}
-    for split, (lo, hi) in splits.items():
-        lines = []
-        for video, events in VIDEO_EVENTS.items():
-            n_frames = events[-1][1]
-            for frame in range(lo, min(hi, n_frames)):
-                lines.append(f"{video} {frame}")
-        with open(os.path.join(root, "splits", "02", split + ".txt"), "w") as f:
-            f.write("\n".join(lines) + "\n")
-
-    with open(os.path.join(root, "annotations", "points.txt"), "w") as f:
-        for pid, video, start, end, extra, _cap in POINTS:
-            f.write(f"{pid} {video} {start} {end} {extra}\n")
-    with open(os.path.join(root, "annotations", "captions.txt"), "w") as f:
-        for pid, _video, _start, _end, _extra, cap in POINTS:
-            f.write(f"{pid}\t{cap}\n")
-
-    return root
+The builder itself lives in the package (tennis_tpu.data.synthetic) so the
+``tennis_tpu.parity --dry-run`` harness can use it at runtime; this module
+keeps the historical test-side import surface.
+"""
+from tennis_tpu.data.synthetic import (  # noqa: F401
+    CLASSES,
+    POINTS,
+    VIDEO_EVENTS,
+    build_fixture,
+    frame_label,
+)

@@ -1,0 +1,112 @@
+"""Unit coverage for the executable parity harness (tennis_tpu.parity).
+
+The end-to-end dry-run (fixture build → 6 stand-in trainings → 6 evaluations
+→ gate table) is exercised by ``python -m tennis_tpu.parity --dry-run`` and is
+too heavy for the unit suite; these tests pin the tolerance arithmetic — the
+codified PARITY.md D1-D16 table — and the documented row-command surface.
+"""
+import json
+
+import pytest
+
+from tennis_tpu import parity
+
+
+def _vision_exact(row):
+    """A measured dict that reproduces the published row exactly."""
+    meas = {f"{c}_f1": v / 100.0
+            for c, v in zip(parity.CLASSES, parity.PUBLISHED_F1[row])}
+    meas["AVG_NB_f1"] = sum(parity.PUBLISHED_F1[row][1:]) / 10.0 / 100.0
+    return meas
+
+
+def test_vision_gates_pass_at_published_values():
+    for row in parity.PUBLISHED_F1:
+        checks = parity.gate_vision(row, _vision_exact(row))
+        assert all(c["pass"] for c in checks if c["gated"]), (row, checks)
+        # SNL is reported but never gated (PARITY.md D5: 9/1/2 events)
+        snl = next(c for c in checks if c["metric"] == "SNL_f1")
+        assert snl["gated"] is False and snl["pass"] is None
+
+
+def test_vision_gate_tolerances():
+    # ±3.0 per-class (D3): 3.1 over fails, 2.9 passes
+    meas = _vision_exact("0006")
+    meas["SFI_f1"] = (57.9 + 3.1) / 100.0
+    checks = {c["metric"]: c for c in parity.gate_vision("0006", meas)}
+    assert checks["SFI_f1"]["pass"] is False
+    meas["SFI_f1"] = (57.9 - 2.9) / 100.0
+    checks = {c["metric"]: c for c in parity.gate_vision("0006", meas)}
+    assert checks["SFI_f1"]["pass"] is True
+
+    # tiny classes SFF/SFL gate at ±5.0 (D5)
+    meas = _vision_exact("0006")
+    meas["SFF_f1"] = (17.7 + 4.9) / 100.0
+    checks = {c["metric"]: c for c in parity.gate_vision("0006", meas)}
+    assert checks["SFF_f1"]["pass"] is True and checks["SFF_f1"]["tol"] == 5.0
+
+    # AVG_NB at ±2.0 (D3)
+    meas = _vision_exact("0006")
+    meas["AVG_NB_f1"] += 0.021  # fractions: +2.1 points
+    checks = {c["metric"]: c for c in parity.gate_vision("0006", meas)}
+    assert checks["AVG_NB_f1"]["pass"] is False
+
+
+def test_captioning_gates():
+    exact = dict(parity.PUBLISHED_0102)
+    checks = parity.gate_captioning(exact)
+    assert all(c["pass"] for c in checks if c["gated"])
+    by = {c["metric"]: c for c in checks}
+    # BLEU-1..3 at ±1.0 (D2), BLEU-4 at ±1.5 (D13)
+    assert by["Bleu_1"]["tol"] == 1.0 and by["Bleu_4"]["tol"] == 1.5
+    wide = dict(exact, Bleu_4=exact["Bleu_4"] - 1.4)
+    assert {c["metric"]: c for c in parity.gate_captioning(wide)}["Bleu_4"]["pass"]
+    over = dict(exact, Bleu_1=exact["Bleu_1"] + 1.1)
+    assert not {c["metric"]: c
+                for c in parity.gate_captioning(over)}["Bleu_1"]["pass"]
+    # METEOR is a one-sided floor (D1: no WordNet stage, reads low only)
+    low = dict(exact, METEOR=19.4)
+    assert not {c["metric"]: c
+                for c in parity.gate_captioning(low)}["METEOR"]["pass"]
+    high = dict(exact, METEOR=25.0)
+    assert {c["metric"]: c for c in parity.gate_captioning(high)}["METEOR"]["pass"]
+    # ROUGE-L / CIDEr are report-only (no documented tolerance)
+    assert by["ROUGE_L"]["gated"] is False and by["CIDEr"]["gated"] is False
+
+
+def test_published_tables_match_baseline_avg():
+    """The encoded per-class rows must reproduce the published AVG column
+    (BASELINE.md: 52.4 / 55.4 / 30.4 / 54.3 / 55.7) to rounding."""
+    avgs = {"0006": 52.4, "0010": 55.4, "0031": 30.4, "0028": 54.3,
+            "0042": 55.7}
+    for row, avg in avgs.items():
+        got = sum(parity.PUBLISHED_F1[row]) / 11.0
+        assert abs(got - avg) < 0.15, (row, got, avg)
+
+
+def test_row_commands_match_documented_flags():
+    """The real-mode eval argv must carry the reference's documented flags
+    verbatim (reference models/README.md:13-68)."""
+    f = parity.ROW_EVAL_FLAGS
+    assert f["0006"] == ["--backbone", "DenseNet121"]
+    assert "--flow" in f["0010"] and "twos" in f["0010"]
+    assert f["0031"][f["0031"].index("--window") + 1] == "8"
+    assert f["0031"][f["0031"].index("--data_shape") + 1] == "224"
+    for row in ("0028", "0042"):
+        assert f[row][f[row].index("--backbone_from_id") + 1] == "0006"
+        assert f[row][f[row].index("--feats_model") + 1] == "0006"
+    assert "--freeze_backbone" in f["0042"]
+    assert f["0102"][f["0102"].index("--num_hidden") + 1] == "256"
+    # every row has a dry-run variant and appears in ALL_ROWS
+    assert set(f) == set(parity.DRY_EVAL_FLAGS) == set(parity.ALL_ROWS)
+
+
+def test_cli_rejects_unknown_rows(capsys):
+    with pytest.raises(SystemExit):
+        parity.main(["--dry-run", "--rows", "9999"])
+
+
+def test_exec_mode_rejects_unknown_module():
+    with pytest.raises(ValueError, match="unknown driver module"):
+        parity.main(["--_exec", json.dumps(
+            {"module": "nope", "argv": [], "platform": ""})])
