@@ -88,8 +88,13 @@ class BeamSearchTranslator:
         # the context must be active while the jit TRACES (first call per shape)
         with pallas_gru(self._use_pallas_gru):
             samples, scores, lengths = self._jitted[Bp](variables, src, vl)
-        return (jax.device_get(samples)[:B], jax.device_get(scores)[:B],
-                jax.device_get(lengths)[:B])
+        # under a POD mesh the outputs span multiple processes and a plain
+        # device_get raises; fetch_global all-gathers in lockstep (and is a
+        # plain device_get when fully addressable — the single-host case)
+        from tennis_tpu.parallel.distributed import fetch_global
+
+        samples, scores, lengths = fetch_global((samples, scores, lengths))
+        return samples[:B], scores[:B], lengths[:B]
 
     def translate_tokens(self, variables, src, src_valid_length, vocab):
         """Top-beam hypotheses as token lists (BOS/EOS stripped, the reference's

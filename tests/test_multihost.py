@@ -146,9 +146,69 @@ for i in range(2):
 assert all(np.isfinite(l) for l in losses), losses
 assert int(fetch_global(state.step)) == 2
 
+# ---- the captioner over the SAME 2-process pod mesh: one sharded seq2seq
+# train step and a sharded beam decode must equal the single-process run
+# exactly (the reference's captioner is pinned to 1 GPU,
+# reference train_gnmt.py:126-129; this is the path that beats that limit)
+import optax
+
+from tennis_tpu.models.gnmt import (NMTModel, get_gnmt_encoder_decoder,
+                                    masked_ce_loss)
+from tennis_tpu.parallel import make_seq2seq_train_step
+from tennis_tpu.translation import BeamSearchTranslator
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+enc, dec = get_gnmt_encoder_decoder(hidden_size=16, num_layers=2,
+                                    num_bi_layers=1)
+nmt = NMTModel(vocab_size=11, encoder=enc, decoder=dec, embed_size=8)
+rng2 = jax.random.PRNGKey(5)
+Bc = GLOBAL_BATCH
+src_g = np.asarray(jax.random.normal(rng2, (Bc, 6, 12), jnp.float32))
+tgt_g = np.asarray(jax.random.randint(rng2, (Bc, 5), 0, 11), np.int32)
+src_vl_g = np.full((Bc,), 6, np.int32)
+tgt_vl_g = np.full((Bc,), 5, np.int32)
+variables = jax.jit(nmt.init)(rng2, jnp.asarray(src_g[:1]),
+                              jnp.asarray(tgt_g[:1, :-1]))
+params_host = jax.device_get(variables["params"])
+opt = optax.adam(1e-3)
+
+# single-process reference on this host's local devices (identical on both
+# hosts: same seed, same global batch). Steps donate params -> fresh copies.
+copy_tree = lambda t: jax.tree_util.tree_map(np.array, t)
+step_ref = make_seq2seq_train_step(nmt, opt, masked_ce_loss, mesh=None)
+p_ref = copy_tree(params_host)
+_, _, _, loss_ref = step_ref(p_ref, {}, opt.init(copy_tree(params_host)),
+                             src_g, tgt_g, src_vl_g, tgt_vl_g, np.uint32(0))
+loss_ref = float(loss_ref)
+tr_ref = BeamSearchTranslator(nmt, bos_id=1, eos_id=2, beam_size=2,
+                              max_length=6)
+samp_ref, _, len_ref = tr_ref.translate({"params": params_host}, src_g,
+                                        src_vl_g)
+
+# pod-mesh run: this host's stripe rows assembled into global arrays
+halfc = Bc // jax.process_count()
+mk = lambda a: jax.make_array_from_process_local_data(
+    sharding, a[pid * halfc:(pid + 1) * halfc])
+step_pod = make_seq2seq_train_step(nmt, opt, masked_ce_loss, mesh=mesh)
+_, _, _, loss_pod = step_pod(copy_tree(params_host), {},
+                             opt.init(copy_tree(params_host)),
+                             mk(src_g), mk(tgt_g), mk(src_vl_g), mk(tgt_vl_g),
+                             np.uint32(0))
+loss_pod = float(fetch_global(loss_pod).ravel()[0])
+assert abs(loss_pod - loss_ref) < 2e-4, (loss_pod, loss_ref)
+
+tr_pod = BeamSearchTranslator(nmt, bos_id=1, eos_id=2, beam_size=2,
+                              max_length=6, mesh=mesh)
+samp_pod, _, len_pod = tr_pod.translate({"params": params_host}, mk(src_g),
+                                        mk(src_vl_g))
+assert np.array_equal(len_pod, len_ref), (len_pod, len_ref)
+assert np.array_equal(samp_pod, samp_ref)
+
 # both hosts must have seen identical batch counts and identical global values
 print("RESULT", n_batches, " ".join(f"{s:.3f}" for s in sums),
-      " ".join(f"{l:.5f}" for l in losses))
+      " ".join(f"{l:.5f}" for l in losses),
+      f"s2s {loss_pod:.5f} beam {samp_pod.shape}")
 """
 
 
