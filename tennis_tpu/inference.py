@@ -8,6 +8,7 @@ dtype policy, compiler options).
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -64,3 +65,77 @@ def load_classifier(backbone: str, model_id: str, data_shape: int,
 
     info = {"exp_dir": exp_dir, "epoch": epoch, "score": score}
     return classes, predict_probs, info
+
+
+def load_captioner(model_id: str, root: str = "data", gnmt_argv=(),
+                   src_max_len: int = 128):
+    """Load a captioning experiment's ``valid_best.params`` into a batched
+    beam decoder (the serving analogue of evaluate_gnmt's decode path).
+
+    Features-path only (the flagship 0102 configuration — reference
+    train_gnmt.py:188-194 consumes dumped 0006 features; serving the pixels
+    path would mean streaming whole frame sequences over HTTP). ``gnmt_argv``
+    carries the architecture flags the checkpoint was trained with
+    (``--num_hidden=256 --feats_model=0006 ...``), parsed by the train_gnmt
+    flag surface so model construction has one source of truth.
+
+    Returns ``(vocab, caption_batch, info)``: ``caption_batch`` maps a float32
+    feature batch (B, src_max_len, D) + int32 valid lengths (B,) to a list of
+    B token lists. B and src_max_len are static — ONE compiled beam program.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tennis_tpu.data import TennisSet
+    from tennis_tpu.train_gnmt import FLAGS as GFLAGS, build_model
+    from tennis_tpu.translation import BeamSearchTranslator
+    from tennis_tpu.utils import checkpoint as ckpt
+    from tennis_tpu.utils.experiments import experiment_dir
+
+    GFLAGS.unparse_flags()
+    GFLAGS(["load_captioner", f"--root={root}", f"--model_id={model_id}",
+            *gnmt_argv])
+    if not GFLAGS.feats_model:
+        raise ValueError("serving supports the features-path captioner only "
+                         "(pass --gnmt_flag=--feats_model=<vision exp id>)")
+
+    # the checkpoint's token ids are positions in the train-split vocab
+    # (reference train_gnmt.py:198-203); one sample also pins the feature dim
+    data_train = TennisSet(root=root, captions=True, split="train",
+                           every=GFLAGS.every, max_cap_len=GFLAGS.tgt_max_len,
+                           feats_model=GFLAGS.feats_model)
+    vocab = data_train.vocab
+    feat_dim = int(np.asarray(data_train[0][0]).shape[-1])
+
+    model = build_model(len(vocab))
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init)(
+        rng, jnp.zeros((1, src_max_len, feat_dim), jnp.float32),
+        jnp.zeros((1, 2), jnp.int32),
+    )
+    exp_dir = experiment_dir("captioning", model_id)
+    best_path = os.path.join(exp_dir, "valid_best.params")
+    restored = ckpt.load_state(
+        best_path,
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})},
+    )
+    variables = {"params": restored["params"],
+                 "batch_stats": restored["batch_stats"]}
+    logging.info("loaded %s (vocab %d, feat_dim %d)", best_path, len(vocab),
+                 feat_dim)
+
+    translator = BeamSearchTranslator(
+        model, bos_id=vocab[vocab.bos_token], eos_id=vocab[vocab.eos_token],
+        beam_size=GFLAGS.beam_size, alpha=GFLAGS.lp_alpha, K=GFLAGS.lp_k,
+        max_length=GFLAGS.tgt_max_len + 20,
+    )
+
+    def caption_batch(feats: np.ndarray, lengths: np.ndarray):
+        return translator.translate_tokens(
+            variables, np.asarray(feats, np.float32),
+            np.asarray(lengths, np.int32), vocab)
+
+    info = {"exp_dir": exp_dir, "vocab_size": len(vocab),
+            "feat_dim": feat_dim, "src_max_len": src_max_len}
+    return vocab, caption_batch, info

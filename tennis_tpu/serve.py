@@ -13,8 +13,13 @@ API:
 
 - ``POST /predict`` — body: JPEG bytes → ``{"label": str, "probs": [float],
   "classes": [str]}``
+- ``POST /caption`` — body: ``np.save`` bytes of a float (T, D) frame-feature
+  sequence → ``{"caption": str, "tokens": [str], "frames_used": int}``.
+  Mounted when ``--caption_model_id`` names a captioning experiment
+  (features path; the GNMT beam decode runs as ONE compiled static-shape
+  program, coalesced by its own batcher).
 - ``GET /healthz``  — liveness + counters (requests served, batches run, mean
-  rows per batch)
+  rows per batch; caption counters when mounted)
 
 Batching: requests park in a queue; a single dispatcher thread drains up to
 ``--batch_size`` of them (waiting at most ``--max_wait_ms`` after the first),
@@ -62,6 +67,22 @@ flags.DEFINE_integer("max_wait_ms", 5,
 flags.DEFINE_integer("request_timeout_s", 120,
                      "Per-request wait on the device batch before answering "
                      "503; /healthz reports 'stalled' past the same bound",
+                     lower_bound=1, flag_values=FLAGS)
+flags.DEFINE_string("caption_model_id", "",
+                    "Captioning experiment id; non-empty mounts POST /caption "
+                    "(features-path GNMT beam decode)", flag_values=FLAGS)
+flags.DEFINE_multi_string(
+    "gnmt_flag", [],
+    "Architecture flags forwarded to the train_gnmt flag surface when "
+    "loading --caption_model_id (e.g. --gnmt_flag=--num_hidden=256 "
+    "--gnmt_flag=--feats_model=0006)", flag_values=FLAGS)
+flags.DEFINE_integer("src_max_len", 128,
+                     "Static source length for /caption: posted feature "
+                     "sequences are truncated/padded to this many frames "
+                     "(one compiled beam program)", lower_bound=1,
+                     flag_values=FLAGS)
+flags.DEFINE_integer("caption_batch_size", 4,
+                     "Static device batch for /caption coalescing",
                      lower_bound=1, flag_values=FLAGS)
 
 _MAX_BODY = 32 * 2**20  # reject absurd uploads before reading them
@@ -144,9 +165,16 @@ class Batcher:
             n = len(items)
             imgs = [it[0] for it in items]
             imgs.extend([imgs[-1]] * (self._batch - n))  # edge-pad: static shape
+            if isinstance(imgs[0], tuple):
+                # multi-component samples (e.g. captioning: features + valid
+                # length) stack per component and fan out as positional args
+                args = tuple(np.stack(c) for c in zip(*imgs))
+            else:
+                args = (np.stack(imgs),)
             self.inflight_since = time.monotonic()
             try:
-                out = np.asarray(self._fn(np.stack(imgs)))
+                out = self._fn(*args)
+                out = out if isinstance(out, list) else np.asarray(out)
                 # count BEFORE waking waiters: a /healthz racing the released
                 # requests must never see requests > 0 with batches == 0
                 self.batches += 1
@@ -187,6 +215,23 @@ def build_service():
     data_shape = FLAGS.data_shape
     timeout_s = float(FLAGS.request_timeout_s)
 
+    cap_batcher = None
+    feat_dim = src_max_len = 0
+    if FLAGS.caption_model_id:
+        from tennis_tpu.inference import load_captioner
+
+        src_max_len = FLAGS.src_max_len
+        _vocab, caption_fn, cap_info = load_captioner(
+            FLAGS.caption_model_id, root=FLAGS.root,
+            gnmt_argv=FLAGS.gnmt_flag, src_max_len=src_max_len)
+        feat_dim = cap_info["feat_dim"]
+        # warm the beam program too (compile before traffic, same rule)
+        caption_fn(np.zeros((FLAGS.caption_batch_size, src_max_len, feat_dim),
+                            np.float32),
+                   np.ones((FLAGS.caption_batch_size,), np.int32))
+        cap_batcher = Batcher(caption_fn, FLAGS.caption_batch_size,
+                              FLAGS.max_wait_ms / 1e3)
+
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
@@ -199,42 +244,104 @@ def build_service():
         def do_GET(self):
             if self.path != "/healthz":
                 return self._reply(404, {"error": "unknown path"})
-            stalled = batcher.stalled(timeout_s)
-            self._reply(503 if stalled else 200, {
+            stalled = batcher.stalled(timeout_s) or (
+                cap_batcher is not None and cap_batcher.stalled(timeout_s))
+            payload = {
                 "status": "stalled" if stalled else "ok",
                 "requests": batcher.rows,
                 "batches": batcher.batches,
                 "mean_rows_per_batch": round(
                     batcher.rows / max(batcher.batches, 1), 2),
-            })
+            }
+            if cap_batcher is not None:
+                payload["caption_requests"] = cap_batcher.rows
+                payload["caption_batches"] = cap_batcher.batches
+            self._reply(503 if stalled else 200, payload)
 
-        def do_POST(self):
-            if self.path != "/predict":
-                return self._reply(404, {"error": "unknown path"})
+        def _read_body(self):
             try:
                 length = int(self.headers.get("Content-Length") or 0)
             except ValueError:
-                return self._reply(400, {"error": "bad Content-Length"})
+                length = 0
             if length <= 0:
-                return self._reply(400,
-                                   {"error": f"bad Content-Length {length}"})
+                self._reply(400, {"error": f"bad Content-Length {length}"})
+                return None
             if length > _MAX_BODY:
-                return self._reply(413, {"error": f"body over {_MAX_BODY}B"})
+                self._reply(413, {"error": f"body over {_MAX_BODY}B"})
+                return None
+            return self.rfile.read(length)
+
+        def _submit(self, b, item):
+            """Batcher round-trip with the shared error→status mapping;
+            returns the row or None after an error reply."""
             try:
-                img = decode_rgb(self.rfile.read(length), data_shape)
-            except ValueError as e:
-                return self._reply(400, {"error": str(e)})
-            try:
-                probs = batcher.submit(img, timeout=timeout_s)
+                return b.submit(item, timeout=timeout_s)
             except TimeoutError:
-                return self._reply(503, {"error": "inference timed out"})
+                self._reply(503, {"error": "inference timed out"})
             except Exception as e:  # device-side failure: a 500, not a
                 logging.exception("batch failed")  # dropped connection
-                return self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+            return None
+
+        def do_POST(self):
+            if self.path == "/caption":
+                return self._do_caption()
+            if self.path != "/predict":
+                return self._reply(404, {"error": "unknown path"})
+            body = self._read_body()
+            if body is None:
+                return
+            try:
+                img = decode_rgb(body, data_shape)
+            except ValueError as e:
+                return self._reply(400, {"error": str(e)})
+            probs = self._submit(batcher, img)
+            if probs is None:
+                return
             self._reply(200, {
                 "label": classes[int(np.argmax(probs))],
                 "probs": [round(float(p), 6) for p in probs],
                 "classes": classes,
+            })
+
+        def _do_caption(self):
+            """POST /caption — body: ``np.save`` bytes of a float (T, D) frame
+            feature sequence (D = the vision experiment's feature dim) →
+            ``{"caption": str, "tokens": [str], "frames_used": int}``.
+            Sequences longer than --src_max_len use the first src_max_len
+            frames; all requests run through ONE compiled beam program."""
+            if cap_batcher is None:
+                return self._reply(404, {
+                    "error": "no captioner mounted (start with "
+                             "--caption_model_id)"})
+            body = self._read_body()
+            if body is None:
+                return
+            import io
+
+            try:
+                feats = np.load(io.BytesIO(body), allow_pickle=False)
+            except Exception as e:
+                return self._reply(400, {"error": f"body is not a .npy "
+                                                  f"array: {e}"})
+            if feats.ndim != 2 or feats.shape[0] < 1:
+                return self._reply(400, {
+                    "error": f"expected (T, {feat_dim}) features, got "
+                             f"{feats.shape}"})
+            if feats.shape[1] != feat_dim:
+                return self._reply(400, {
+                    "error": f"feature dim {feats.shape[1]} != model's "
+                             f"{feat_dim}"})
+            n = min(feats.shape[0], src_max_len)
+            padded = np.zeros((src_max_len, feat_dim), np.float32)
+            padded[:n] = feats[:n]
+            tokens = self._submit(cap_batcher, (padded, np.int32(n)))
+            if tokens is None:
+                return
+            self._reply(200, {
+                "caption": " ".join(tokens),
+                "tokens": list(tokens),
+                "frames_used": int(n),
             })
 
         def log_message(self, fmt, *args):  # route to absl, not stderr
