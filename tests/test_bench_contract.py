@@ -70,6 +70,7 @@ def test_result_schema_prefixes_are_supersets(monkeypatch):
     assert headline["unit"] == "frames/sec"
     assert headline["vs_baseline"] == round(1234.5 / bench.MXNET_BASELINE_FPS, 2)
     assert headline["train"] is None
+    assert headline["e2e"] is None
     # the in-place mutations main() performs between prints
     refined = dict(headline, tflops=70.0, mfu=0.355)
     with_train = dict(refined, train={
@@ -82,3 +83,30 @@ def test_result_schema_prefixes_are_supersets(monkeypatch):
     # the outage artifact shares the four driver-required keys
     outage_keys = {"metric", "value", "unit", "vs_baseline"}
     assert outage_keys <= set(headline)
+
+
+def test_measure_e2e_drives_the_production_loader(monkeypatch, tmp_path):
+    """measure_e2e streams real JPEG decode through DataLoader →
+    prefetch_to_device → the extract callable, and its row carries the keys
+    main() publishes. A fake extract (device sum) stands in for the compiled
+    program; shapes/dtypes are asserted to match what extract_n would see."""
+    bench = _fresh_bench(monkeypatch, "470")
+    paths, cached = bench._build_jpeg_fixture(str(tmp_path))
+    assert len(paths) == len(cached) == 32
+    seen = []
+
+    def fake_extract(images):
+        assert images.shape == (8, 512, 512, 3) and images.dtype == "uint8"
+        seen.append(images.shape[0])
+        return images.astype("float32").sum()
+
+    row = bench.measure_e2e(fake_extract, batch=8, files=paths,
+                            n_batches=3, num_workers=2)
+    assert seen == [8, 8, 8]
+    assert row["frames"] == 24 and row["batch"] == 8 and row["workers"] == 2
+    assert row["fps"] > 0
+
+    # host-only mode (run_extract=None): decode legs without any device touch
+    host_row = bench.measure_e2e(None, batch=8, files=cached,
+                                 n_batches=2, num_workers=2)
+    assert host_row["fps"] > 0 and host_row["frames"] == 16
