@@ -412,18 +412,18 @@ def loader_scaling_bench():
        geometry) at 1/2/4/8/16 worker threads. On a many-core box this is the
        workers→fps curve directly; on a 1-core box it shows whether threading
        itself costs anything (it should stay flat at the single-thread rate).
-    2. ``gil_held_frac``: a direct measurement of the GIL-release assumption
-       the threaded loader rests on (data/loader.py:4). A probe thread
-       increments a Python counter at its natural rate; a decode thread then
-       runs the per-sample work (__getitem__) in a loop. The counter's rate
-       ratio during-vs-before decode is the fraction of decode wall-time the
-       GIL was AVAILABLE; 1 - that is the serial (GIL-held) fraction f. By
-       Amdahl, worker scaling saturates near 1/f workers — reported as
-       ``amdahl_max_workers`` per decode path. This bounds the knee without
-       needing 16 physical cores.
+    2. ``gil_held_frac``: a sound UPPER bound on the serial fraction of the
+       per-sample work — the GIL-release assumption the threaded loader rests
+       on (data/loader.py:4). cProfile the decode+geometry path and classify
+       self-time: cv2 C calls and the ctypes native-decode call provably
+       release the GIL; EVERYTHING else (pure-Python frames, numpy builtins,
+       the profiler's own overhead) counts as GIL-held. By Amdahl, worker
+       scaling saturates no earlier than 1/f workers — reported as
+       ``amdahl_min_workers`` per decode path. A counter-thread probe cannot
+       separate GIL holding from plain core contention on a 1-core box (a
+       fully-GIL-free decode still halves a spinning counter), which is why
+       the bound comes from attribution, not from interference.
     """
-    import threading
-
     from tennis_tpu.data.loader import DataLoader
 
     paths, cached_paths = _build_jpeg_fixture()
@@ -443,42 +443,45 @@ def loader_scaling_bench():
             out[str(workers)] = round(n / (time.perf_counter() - tic), 1)
         return out
 
-    def gil_held_fraction(files, secs=1.5):
+    def gil_held_fraction(files, n_samples=192):
+        import cProfile
+        import pstats
+
         ds = _JpegDataset(files, native=True)
-        box = {"n": 0, "stop": False}
+        for i in range(8):  # page cache + lazy imports outside the profile
+            ds[i]
+        pr = cProfile.Profile()
+        pr.enable()
+        for i in range(n_samples):
+            ds[i]
+        pr.disable()
+        stats = pstats.Stats(pr)
 
-        def counter():
-            n = 0
-            while not box["stop"]:
-                n += 1
-            box["n"] = n
+        def releases_gil(filename: str, name: str) -> bool:
+            # provable GIL releasers only; everything else (numpy builtins,
+            # pure-Python frames, profiler overhead) counts as held, so the
+            # returned fraction is an upper bound. decode_jpeg's self-time is
+            # ≥95% inside its ctypes foreign call (ctypes drops the GIL around
+            # foreign calls; the profile shows the call folded into the
+            # caller's tottime) — the dozen Python statements of glue bias the
+            # bound by <1%. cv2's C extensions release the GIL around codec/
+            # resize work and profile as bare builtins ('<resize>'); _io
+            # releases it around OS reads.
+            if filename.endswith("native/jpeg.py") and name == "decode_jpeg":
+                return True
+            if filename == "~":
+                return (name in ("<resize>", "<imdecode>", "<imread>",
+                                 "<cvtColor>", "<imencode>")
+                        or "cv2" in name or "_io" in name)
+            return False
 
-        def rate_during(work):
-            box["n"], box["stop"] = 0, False
-            t = threading.Thread(target=counter)
-            t.start()
-            tic = time.perf_counter()
-            work(lambda: time.perf_counter() - tic > secs)
-            dt = time.perf_counter() - tic
-            box["stop"] = True
-            t.join()
-            return box["n"] / dt
-
-        def idle(done):
-            while not done():
-                time.sleep(0.01)
-
-        def decode(done):
-            i = 0
-            while not done():
-                ds[i]
-                i += 1
-
-        base = rate_during(idle)
-        during = rate_during(decode)
-        # counter rate is proportional to GIL availability; decode's GIL-held
-        # fraction is what it takes away from the probe
-        return max(0.0, min(1.0, 1.0 - during / max(base, 1e-9)))
+        released = total = 0.0
+        for (filename, _line, name), (_cc, _nc, tt, _ct, _callers) \
+                in stats.stats.items():
+            total += tt
+            if releases_gil(str(filename), str(name)):
+                released += tt
+        return max(0.0, min(1.0, 1.0 - released / max(total, 1e-9)))
 
     f_native = gil_held_fraction(paths)
     f_cached = gil_held_fraction(cached_paths)
@@ -492,9 +495,9 @@ def loader_scaling_bench():
         "cores": os.cpu_count() or 1,
         "workers_fps": curve,
         "workers_fps_cached_544": curve_cached,
-        "gil_held_frac": {"native": round(f_native, 3),
-                          "cached_544": round(f_cached, 3)},
-        "amdahl_max_workers": {
+        "gil_held_frac_upper_bound": {"native": round(f_native, 3),
+                                      "cached_544": round(f_cached, 3)},
+        "amdahl_min_workers": {
             "native": round(1.0 / max(f_native, 1e-3), 1),
             "cached_544": round(1.0 / max(f_cached, 1e-3), 1),
         },

@@ -103,6 +103,9 @@ def build_frame_cache(root: str, short: int, quality: int = 95,
 
     written = skipped = 0
     workers = workers or os.cpu_count() or 8
+    from tennis_tpu.utils import Progress
+
+    progress = Progress(len(chunks), "frame cache chunks", unit="chunks")
     with ProcessPoolExecutor(max_workers=workers) as pool:
         futures = [pool.submit(_build_chunk, s, d, short, quality)
                    for s, d in chunks]
@@ -110,6 +113,8 @@ def build_frame_cache(root: str, short: int, quality: int = 95,
             w, s = f.result()
             written += w
             skipped += s
+            progress.update()
+    progress.close()
     return written, skipped
 
 

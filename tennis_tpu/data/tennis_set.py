@@ -210,9 +210,14 @@ class TennisSet:
                     labels[v][max_f + i] = "OTH"
 
         # existence check; optionally extract from source videos, else drop
+        # (progress-reported like the reference's tqdm scan, dataset.py:347-354
+        # — split-02 train stats ~572K frame paths)
+        from tennis_tpu.utils import Progress
+
         missing = [
             s
-            for s in samples
+            for s in Progress.wrap(samples, f"scanning {self._split} frames",
+                                   unit="frames", interval=30.0)
             if not os.path.exists(get_image_path(self._frames_dir, s[0], s[1]))
         ]
         if missing and self._extract_missing:

@@ -88,14 +88,19 @@ def video_to_frames(video_path, frames_dir, overwrite=False, every=1,
         )
 
     workers = max_workers or multiprocessing.cpu_count()
+    from tennis_tpu.utils import Progress
+
+    progress = Progress(total, f"extracting {video_filename}", unit="frames")
     with ProcessPoolExecutor(max_workers=workers) as executor:
         futures = [
             executor.submit(extract_frames, video_path, frames_dir, overwrite,
                             c[0], c[1], every)
             for c in chunks
         ]
-        for _ in as_completed(futures):
-            pass
+        for f in as_completed(futures):
+            f.result()  # surface worker exceptions instead of dropping them
+            progress.update(chunk_size)
+    progress.close()
     return os.path.join(frames_dir, video_filename)
 
 

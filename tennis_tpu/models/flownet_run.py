@@ -275,6 +275,9 @@ def generate_flows(image_dir: str, flow_dir: str = "flow", params_path=None,
                             os.path.normpath(flow_dir))
         pending.append(((files[i - 1], files[i]), os.path.join(out_dir, name)))
 
+    from tennis_tpu.utils import Progress
+
+    progress = Progress(len(pending), f"flow {image_dir}", unit="pairs")
     for start in range(0, len(pending), batch_size):
         chunk = pending[start : start + batch_size]
         imgs = []
@@ -289,3 +292,5 @@ def generate_flows(image_dir: str, flow_dir: str = "flow", params_path=None,
                              interpolation=cv2.INTER_LINEAR)
             os.makedirs(os.path.dirname(out_path), exist_ok=True)
             cv2.imwrite(out_path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        progress.update(len(chunk))
+    progress.close()
