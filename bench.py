@@ -25,16 +25,20 @@ achieved TFLOP/s (XLA's own cost analysis of the compiled program) over the v5e
 bf16 peak (197 TFLOP/s/chip), so the estimated denominator is not the only anchor.
 
 Output contract: the driver parses the LAST JSON line on stdout, under a hard
-wall-clock budget. To make any prefix of the run a valid artifact, the headline
-extraction JSON line is printed (and flushed) IMMEDIATELY after the extraction
-phase; richer superseding lines follow in order of importance: the END-TO-END
-pipeline row lands next (production DataLoader decoding real JPEGs into the
-same compiled extraction program — reuses extract_n at n=1, so ~35 s and no
-extra compile; closes the seam between the device-only ceiling and the
-host-only --loader probe), then the train samples/sec row (the ~230 s train
-compile is the long pole, and it goes ahead of BOTH cost-analysis compiles —
-the mfu decorations matter less than the train number), then the cost
-analyses, then the static-unroll refine. A soft deadline (BENCH_SOFT_DEADLINE_S, default 470 s)
+wall-clock budget. To make any prefix of the run a valid artifact, a
+PROVISIONAL row (value 0.0 + explanatory error) flushes before the extraction
+lead-in — host-side tracing/lowering the persistent cache cannot cover,
+observed at 844 s on a 1-core box — then the headline extraction JSON line is
+printed (and flushed) IMMEDIATELY after the extraction phase; richer
+superseding lines follow in order of importance: the END-TO-END pipeline row
+lands next (production DataLoader decoding real JPEGs into the same compiled
+extraction program — reuses extract_n at n=1, so ~35 s and no extra compile;
+closes the seam between the device-only ceiling and the host-only --loader
+probe; ESSENTIAL, never deadline-skipped), then the train samples/sec row
+(the ~230 s train compile is the long pole, and it goes ahead of BOTH
+cost-analysis compiles — the mfu decorations matter less than the train
+number; also never deadline-skipped), then the cost analyses, then the
+static-unroll refine. A soft deadline (BENCH_SOFT_DEADLINE_S, default 470 s)
 skips the remaining OPTIONAL phases so the script exits 0 inside the driver's
 hard budget instead of being cut to rc=124 mid-compile. Candidates are pruned
 to the measured winners from round 2 (extraction batch 128 beat 256: 1927 vs
@@ -932,6 +936,20 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     _phase(f"devices: {jax.devices()}")
+    # Provisional artifact BEFORE the extraction lead-in: tracing + MLIR
+    # lowering of the DenseNet fori_loop runs on the HOST and is not covered
+    # by the persistent cache — observed 844 s on a 1-core session box (vs
+    # 24 s round 3). If the driver's hard budget cuts the run inside that
+    # window, this line keeps the artifact parseable and honest (superseded
+    # the moment the real headline flushes).
+    print(json.dumps({
+        "metric": "frames/sec/chip (DenseNet121-512 feature extraction)",
+        "value": 0.0, "unit": "frames/sec", "vs_baseline": 0.0,
+        "error": "run cut during host-side tracing/lowering lead-in; nothing "
+                 "measured yet this run (not a device failure)",
+        "last_recorded_on_chip": {"extraction_fps": 2358.0, "mfu": 0.355,
+                                  "train_samples_per_sec": 334.5},
+    }), flush=True)
     model = FrameModel(get_backbone("densenet121", dtype=jnp.bfloat16),
                        dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
@@ -1025,7 +1043,12 @@ def main():
     # the cached-544 steady-state variant (PARITY D16). Matches the
     # reference's actual extraction workload (train.py:530-545: decode →
     # device in one loop).
-    if best_images is not None and _have_time("e2e pipeline", expected_s=90.0):
+    # ESSENTIAL like the train row (a round "done" criterion), so NOT gated on
+    # the soft deadline: it reuses the already-compiled program, flushes its
+    # superseding line immediately, and a later hard cut costs only the phases
+    # after it. On a slow-host box the lead-in alone can eat the whole soft
+    # deadline, and gating here was observed to silently drop the pipeline row.
+    if best_images is not None:
         try:
             paths, cached_paths = _build_jpeg_fixture()
             run = lambda imgs: extract_n(variables, imgs, jnp.int32(1))
