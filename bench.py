@@ -509,6 +509,24 @@ def loader_scaling_bench():
     print(json.dumps(result))
 
 
+HBM_PEAK_GBPS = 819.0
+
+
+def _leg_row(name, ms, bts, opt_ms=None):
+    """One attribution-table row for ``--train-legs``. Difference legs can be
+    ~0 or slightly negative (timing noise on a fully-fused leg, e.g. the
+    in-step optimizer update): utilization is meaningless there, so report
+    null instead of a garbage quotient."""
+    att = bts / HBM_PEAK_GBPS / 1e6
+    util = round(att / ms, 3) if (ms > 1.0 and bts > 0) else None
+    row = {"leg": name, "ms": round(ms, 1), "gb": round(bts / 1e9, 1),
+           "attainable_ms": round(att, 1), "gap_ms": round(ms - att, 1),
+           "hbm_util": util}
+    if opt_ms is not None:
+        row["xla_optimal_ms"] = round(opt_ms, 1)
+    return row
+
+
 def train_legs_bench():
     """Train-step roofline GAP ATTRIBUTION (``python bench.py --train-legs``).
 
@@ -552,7 +570,6 @@ def train_legs_bench():
     from tennis_tpu.parallel.sharding_rules import state_shardings
     from tennis_tpu.parallel.train_step import softmax_ce
 
-    HBM_PEAK_GBPS = 819.0
     batch, remat = TRAIN_CANDIDATES[0]
     _phase(f"train-legs: devices {jax.devices()}")
     mesh = make_mesh(num_data=1)
@@ -738,18 +755,7 @@ def train_legs_bench():
                             (state, images, labels))
     record("full", timed_loop(run_full, 2, 8), step, *sds_full)
 
-    def leg_row(name, ms, bts, opt_ms=None):
-        att = bts / HBM_PEAK_GBPS / 1e6
-        # difference legs can be ~0 or slightly negative (timing noise on a
-        # fully-fused leg, e.g. the in-step optimizer update): utilization is
-        # meaningless there, report null instead of a garbage quotient
-        util = round(att / ms, 3) if (ms > 1.0 and bts > 0) else None
-        row = {"leg": name, "ms": round(ms, 1), "gb": round(bts / 1e9, 1),
-               "attainable_ms": round(att, 1), "gap_ms": round(ms - att, 1),
-               "hbm_util": util}
-        if opt_ms is not None:
-            row["xla_optimal_ms"] = round(opt_ms, 1)
-        return row
+    leg_row = _leg_row
 
     aug, fwd, grad, upd, full = (legs[k] for k in
                                  ("aug", "fwd", "grad", "upd", "full"))

@@ -85,6 +85,23 @@ def test_result_schema_prefixes_are_supersets(monkeypatch):
     assert outage_keys <= set(headline)
 
 
+def test_leg_row_reports_null_util_on_degenerate_difference_legs(monkeypatch):
+    """--train-legs difference legs (full - grad) can be ~0 or negative; the
+    attribution row must carry hbm_util=None there instead of the garbage
+    quotient an unguarded att/ms would produce (observed: -9222251.5)."""
+    bench = _fresh_bench(monkeypatch, "470")
+    # a real leg: 273 GB in 383 ms -> util ~0.87 of the 819 GB/s spec peak
+    row = bench._leg_row("FULL STEP", 383.0, 273e9, opt_ms=300.0)
+    assert row["hbm_util"] == round((273e9 / 819.0 / 1e6) / 383.0, 3)
+    assert row["gap_ms"] == round(383.0 - 273e9 / 819.0 / 1e6, 1)
+    assert row["xla_optimal_ms"] == 300.0
+    # degenerate: near-zero/negative ms or bytes -> util is null, row still
+    # carries the raw numbers for the reader
+    assert bench._leg_row("update (full-grad)", -1.4, -2e7)["hbm_util"] is None
+    assert bench._leg_row("tiny", 0.07, 3.1e8)["hbm_util"] is None
+    assert "xla_optimal_ms" not in bench._leg_row("tiny", 0.07, 3.1e8)
+
+
 def test_measure_e2e_drives_the_production_loader(monkeypatch, tmp_path):
     """measure_e2e streams real JPEG decode through DataLoader →
     prefetch_to_device → the extract callable, and its row carries the keys
