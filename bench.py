@@ -522,7 +522,11 @@ def _leg_row(name, ms, bts, opt_ms=None):
     row = {"leg": name, "ms": round(ms, 1), "gb": round(bts / 1e9, 1),
            "attainable_ms": round(att, 1), "gap_ms": round(ms - att, 1),
            "hbm_util": util}
-    if opt_ms is not None:
+    # XLA reports optimal_seconds = -1 for ops it cannot model, and the
+    # cost analysis SUMS per-op values — any large program with unmodeled
+    # ops therefore yields a big negative total. Only positive estimates
+    # mean anything (measured r4: fwd leg reported -1915 ms).
+    if opt_ms is not None and opt_ms > 0:
         row["xla_optimal_ms"] = round(opt_ms, 1)
     return row
 
@@ -617,12 +621,15 @@ def train_legs_bench():
 
     def record(name, dt, fn, *s):
         f, b, opt_s = cost_of(fn, *s)
+        # optimal_seconds sums per-op values and XLA emits -1 for ops it
+        # cannot model, so non-positive totals carry no information.
+        opt_ms = opt_s * 1e3 if opt_s > 0 else None
         legs[name] = {"ms": dt * 1e3, "flops": f, "bytes": b,
-                      "xla_optimal_ms": opt_s * 1e3}
+                      "xla_optimal_ms": opt_ms}
         row = {"leg": name, "ms": round(dt * 1e3, 2),
                "gb": round(b / 1e9, 2),
                "attainable_ms": round(b / HBM_PEAK_GBPS / 1e6, 2),
-               "xla_optimal_ms": round(opt_s * 1e3, 2),
+               "xla_optimal_ms": round(opt_ms, 2) if opt_ms else None,
                "tflops": round(f / dt / 1e12, 1)}
         print(json.dumps(row), flush=True)
         _phase(f"{name} done")

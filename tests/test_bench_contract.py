@@ -100,6 +100,13 @@ def test_leg_row_reports_null_util_on_degenerate_difference_legs(monkeypatch):
     assert bench._leg_row("update (full-grad)", -1.4, -2e7)["hbm_util"] is None
     assert bench._leg_row("tiny", 0.07, 3.1e8)["hbm_util"] is None
     assert "xla_optimal_ms" not in bench._leg_row("tiny", 0.07, 3.1e8)
+    # XLA sums per-op optimal_seconds and emits -1 for unmodeled ops, so a
+    # big program can report a large NEGATIVE total (observed r4: -1915 ms
+    # on the fwd leg). Non-positive estimates must be dropped, not printed.
+    assert "xla_optimal_ms" not in bench._leg_row(
+        "forward(+aug)", 88.5, 62.5e9, opt_ms=-1915.1)
+    assert "xla_optimal_ms" not in bench._leg_row(
+        "forward(+aug)", 88.5, 62.5e9, opt_ms=0.0)
 
 
 def test_measure_e2e_drives_the_production_loader(monkeypatch, tmp_path):
