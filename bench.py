@@ -40,7 +40,11 @@ cost-analysis compiles — the mfu decorations matter less than the train
 number; also never deadline-skipped), then the cost analyses, then the
 static-unroll refine. A soft deadline (BENCH_SOFT_DEADLINE_S, default 470 s)
 skips the remaining OPTIONAL phases so the script exits 0 inside the driver's
-hard budget instead of being cut to rc=124 mid-compile. Candidates are pruned
+hard budget instead of being cut to rc=124 mid-compile. When the deadline
+skips a cost analysis, tflops/mfu fall back to the committed static-FLOPs
+cache (.bench_flops.json, flops_source="cached" marks such rows) — live
+timing × static flop count — instead of regressing to 0.0; a run that fits
+the live analysis refreshes the cache. Candidates are pruned
 to the measured winners from round 2 (extraction batch 128 beat 256: 1927 vs
 1833 fps; train (128, "block") beat (96, None): 334 vs 278 samples/sec).
 Measured warm-cache end to end: rc=0 in ~535 s with every phase run; under
@@ -95,6 +99,46 @@ def _have_time(phase: str, expected_s: float = 0.0) -> bool:
 def _phase(msg: str) -> None:
     print(f"# [{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr,
           flush=True)
+
+
+# Committed cache of XLA flop counts, keyed by (program, shapes) descriptor.
+# FLOPs are a STATIC property of the compiled program, so a count measured on
+# any past run stays valid until the model code changes — the cache lets a
+# slow-host run whose soft deadline skips the live cost-analysis compile still
+# report tflops/mfu (observed regression it prevents: a 1-core box burning
+# 445-844 s in host-side lowering, then deadline-skipping both cost analyses
+# and shipping mfu=0.0). Rows carry flops_source="cached" for honesty; a run
+# that DOES fit the live analysis refreshes the file.
+_FLOPS_CACHE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_flops.json")
+
+
+def _cached_flops(key: str) -> float:
+    try:
+        with open(_FLOPS_CACHE_PATH) as f:
+            return float(json.load(f).get(key, {}).get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def _store_flops(key: str, flops: float) -> None:
+    if not flops or flops <= 0:
+        return
+    try:
+        try:
+            with open(_FLOPS_CACHE_PATH) as f:
+                data = json.load(f)
+        except Exception:
+            data = {}
+        data[key] = {"flops": flops}
+        tmp = _FLOPS_CACHE_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+            f.write("\n")
+        os.replace(tmp, _FLOPS_CACHE_PATH)
+    except Exception as e:  # cache is best-effort; never fail the bench
+        print(f"# flops cache write failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
 
 
 def _flops_of(jitted, *args) -> float:
@@ -226,15 +270,29 @@ def measure_train(jax, jnp, publish=None):
         return None, None
     row, step, sds, dt = best
 
-    def cost_fn():
-        # achieved hardware FLOP rate (XLA cost analysis of the compiled step;
-        # under remat this counts the recompute as executed work)
-        tflops = _flops_of(step, *sds) / dt / 1e12
-        _phase(f"train batch {row['batch']} remat={row['remat']}: "
-               "cost analysis done")
+    def cost_fn(allow_compile: bool = True):
+        # achieved hardware FLOP rate: live timing (dt, measured THIS run) ×
+        # the program's static flop count. The count comes from XLA's cost
+        # analysis of the compiled step when the budget allows the ~60 s
+        # compile (under remat this counts the recompute as executed work),
+        # else from the committed cache; returns None when neither is
+        # available.
+        key = f"train:densenet121:{DATA_SHAPE}:b{row['batch']}:{row['remat']}"
+        if allow_compile:
+            flops = _flops_of(step, *sds)
+            _store_flops(key, flops)
+            _phase(f"train batch {row['batch']} remat={row['remat']}: "
+                   "cost analysis done")
+        else:
+            flops = _cached_flops(key)
+        if flops <= 0:
+            return None
+        tflops = flops / dt / 1e12
         out = dict(row)
         out["tflops"] = round(tflops, 1)
         out["mfu"] = round(tflops / V5E_PEAK_TFLOPS, 3)
+        if not allow_compile:
+            out["flops_source"] = "cached"
         return out
 
     return row, cost_fn
@@ -1105,19 +1163,31 @@ def main():
         print(json.dumps(result), flush=True)
     _phase("train timing done; extraction cost analysis")
 
-    if best_images is not None and _have_time("extraction cost analysis",
-                                              expected_s=45.0):
-        best_flops = _flops_of(extract_one, variables, best_images)
-        infer_tflops = best_fps * (best_flops / max(best_batch, 1)) / 1e12
-        result["tflops"] = round(infer_tflops, 1)
-        result["mfu"] = round(infer_tflops / V5E_PEAK_TFLOPS, 3)
-        print(json.dumps(result), flush=True)
+    if best_images is not None:
+        key = f"extract:densenet121:{DATA_SHAPE}:b{best_batch}"
+        if _have_time("extraction cost analysis", expected_s=45.0):
+            best_flops = _flops_of(extract_one, variables, best_images)
+            _store_flops(key, best_flops)
+        else:
+            # deadline skipped the live compile: FLOPs are static, so the
+            # committed cache keeps mfu/tflops from regressing to 0.0 —
+            # flops_source marks the row
+            best_flops = _cached_flops(key)
+            if best_flops > 0:
+                result["flops_source"] = "cached"
+        if best_flops > 0:
+            infer_tflops = best_fps * (best_flops / max(best_batch, 1)) / 1e12
+            result["tflops"] = round(infer_tflops, 1)
+            result["mfu"] = round(infer_tflops / V5E_PEAK_TFLOPS, 3)
+            print(json.dumps(result), flush=True)
     _phase("extraction cost analysis done; train cost analysis")
 
-    if train_cost_fn is not None and _have_time("train cost analysis",
-                                                expected_s=75.0):
-        result["train"] = train_cost_fn()
-        print(json.dumps(result), flush=True)
+    if train_cost_fn is not None:
+        refined = train_cost_fn(
+            allow_compile=_have_time("train cost analysis", expected_s=75.0))
+        if refined is not None:
+            result["train"] = refined
+            print(json.dumps(result), flush=True)
     _phase("train cost analysis done; static-unroll refine")
 
     # Optional refine: a STATIC trip count lets XLA pipeline across iterations

@@ -109,6 +109,53 @@ def test_leg_row_reports_null_util_on_degenerate_difference_legs(monkeypatch):
         "forward(+aug)", 88.5, 62.5e9, opt_ms=0.0)
 
 
+def test_flops_cache_roundtrip_and_degenerate_values(monkeypatch, tmp_path):
+    """The committed static-FLOPs cache keeps tflops/mfu from regressing to
+    0.0 when the soft deadline skips a live cost-analysis compile. Store/load
+    must round-trip, ignore non-positive counts, and fail soft on a missing
+    or corrupt file."""
+    bench = _fresh_bench(monkeypatch, "470")
+    cache = tmp_path / "flops.json"
+    monkeypatch.setattr(bench, "_FLOPS_CACHE_PATH", str(cache))
+
+    # missing file -> 0.0, no exception
+    assert bench._cached_flops("extract:densenet121:512:b128") == 0.0
+
+    bench._store_flops("extract:densenet121:512:b128", 3.79e12)
+    bench._store_flops("train:densenet121:512:b128:block", 1.45e13)
+    assert bench._cached_flops("extract:densenet121:512:b128") == 3.79e12
+    assert bench._cached_flops("train:densenet121:512:b128:block") == 1.45e13
+    # second store updates in place without clobbering other keys
+    bench._store_flops("extract:densenet121:512:b128", 3.80e12)
+    assert bench._cached_flops("extract:densenet121:512:b128") == 3.80e12
+    assert bench._cached_flops("train:densenet121:512:b128:block") == 1.45e13
+
+    # non-positive counts (cost analysis unavailable) must not poison the file
+    bench._store_flops("extract:densenet121:512:b128", 0.0)
+    bench._store_flops("extract:densenet121:512:b128", -1.0)
+    assert bench._cached_flops("extract:densenet121:512:b128") == 3.80e12
+
+    # corrupt file -> 0.0, no exception
+    cache.write_text("{not json")
+    assert bench._cached_flops("extract:densenet121:512:b128") == 0.0
+
+
+def test_repo_flops_cache_is_seeded():
+    """bench.py ships with the cache pre-seeded for the two headline programs,
+    so even a first slow-host run reports nonzero mfu. Values must be in the
+    physically plausible range (DenseNet121 at 512^2 is ~30 GFLOP/frame)."""
+    if _REPO_ROOT not in sys.path:
+        sys.path.insert(0, _REPO_ROOT)
+    sys.modules.pop("bench", None)
+    bench = importlib.import_module("bench")
+    ex = bench._cached_flops("extract:densenet121:512:b128")
+    tr = bench._cached_flops("train:densenet121:512:b128:block")
+    assert 1e12 < ex < 1e13, ex  # ~3.8e12 (29.7 GFLOP/frame * 128)
+    assert 5e12 < tr < 5e13, tr  # ~1.45e13 (fwd + remat recompute + bwd)
+    # train step must cost more than the inference forward
+    assert tr > ex
+
+
 def test_measure_e2e_drives_the_production_loader(monkeypatch, tmp_path):
     """measure_e2e streams real JPEG decode through DataLoader →
     prefetch_to_device → the extract callable, and its row carries the keys
