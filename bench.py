@@ -113,6 +113,47 @@ _FLOPS_CACHE_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench_flops.json")
 
 
+# Companion record of the last successful on-chip measurement: the outage and
+# provisional artifacts quote it as context (clearly marked as PRIOR numbers),
+# so those fallback rows stay current instead of drifting from hard-coded
+# literals. Refreshed at the end of every run that measured a real value.
+_LAST_RUN_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_last.json")
+
+
+def _last_recorded() -> dict:
+    try:
+        with open(_LAST_RUN_PATH) as f:
+            row = json.load(f)
+        if row.get("extraction_fps", 0) > 0:
+            return row
+    except Exception:
+        pass
+    # fallback: round-3 measured values
+    return {"extraction_fps": 2358.0, "mfu": 0.355,
+            "train_samples_per_sec": 334.5}
+
+
+def _store_last_recorded(result: dict) -> None:
+    """Persist the just-measured headline numbers for future fallback rows;
+    best-effort, never fails the bench, never stores a zero run."""
+    if result.get("value", 0) <= 0:
+        return
+    row = {"extraction_fps": result["value"], "mfu": result.get("mfu", 0.0)}
+    train = result.get("train") or {}
+    if train.get("samples_per_sec", 0) > 0:
+        row["train_samples_per_sec"] = train["samples_per_sec"]
+    try:
+        tmp = _LAST_RUN_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(row, f)
+            f.write("\n")
+        os.replace(tmp, _LAST_RUN_PATH)
+    except Exception as e:
+        print(f"# last-run record write failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+
 def _cached_flops(key: str) -> float:
     try:
         with open(_FLOPS_CACHE_PATH) as f:
@@ -955,8 +996,7 @@ def _emit_outage_artifact(reason: str) -> None:
         "value": 0.0, "unit": "frames/sec", "vs_baseline": 0.0,
         "error": f"axon TPU tunnel unreachable ({reason}); nothing measured "
                  "this run",
-        "last_recorded_on_chip": {"extraction_fps": 2358.0, "mfu": 0.355,
-                                  "train_samples_per_sec": 334.5},
+        "last_recorded_on_chip": _last_recorded(),
     }), flush=True)
 
 
@@ -1018,8 +1058,7 @@ def main():
         "value": 0.0, "unit": "frames/sec", "vs_baseline": 0.0,
         "error": "run cut during host-side tracing/lowering lead-in; nothing "
                  "measured yet this run (not a device failure)",
-        "last_recorded_on_chip": {"extraction_fps": 2358.0, "mfu": 0.355,
-                                  "train_samples_per_sec": 334.5},
+        "last_recorded_on_chip": _last_recorded(),
     }), flush=True)
     model = FrameModel(get_backbone("densenet121", dtype=jnp.bfloat16),
                        dtype=jnp.bfloat16)
@@ -1206,6 +1245,7 @@ def main():
     try:
         if best_images is None or not _have_time("static-unroll refine",
                                                  expected_s=60.0):
+            _store_last_recorded(result)
             _phase("done")
             return
 
@@ -1234,6 +1274,7 @@ def main():
     except Exception as e:
         print(f"# static refine failed: {type(e).__name__}: {e}",
               file=sys.stderr)
+    _store_last_recorded(result)
     _phase("done")
 
 

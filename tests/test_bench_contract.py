@@ -140,6 +140,50 @@ def test_flops_cache_roundtrip_and_degenerate_values(monkeypatch, tmp_path):
     assert bench._cached_flops("extract:densenet121:512:b128") == 0.0
 
 
+def test_last_recorded_roundtrip_and_fallback(monkeypatch, tmp_path):
+    """Outage/provisional artifacts quote the LAST successful on-chip numbers
+    from a record file successful runs refresh; with no (or corrupt) record
+    they fall back to the round-3 literals, and zero runs never overwrite a
+    real record."""
+    bench = _fresh_bench(monkeypatch, "470")
+    record = tmp_path / "last.json"
+    monkeypatch.setattr(bench, "_LAST_RUN_PATH", str(record))
+
+    # no record yet -> the committed fallback numbers
+    fb = bench._last_recorded()
+    assert fb["extraction_fps"] > 0 and fb["mfu"] > 0
+
+    # a successful run refreshes the record
+    bench._store_last_recorded({
+        "value": 2400.0, "mfu": 0.36,
+        "train": {"samples_per_sec": 340.0},
+    })
+    row = bench._last_recorded()
+    assert row == {"extraction_fps": 2400.0, "mfu": 0.36,
+                   "train_samples_per_sec": 340.0}
+
+    # a zero/failed run must NOT clobber it; nor must a missing train row
+    bench._store_last_recorded({"value": 0.0, "mfu": 0.0, "train": None})
+    assert bench._last_recorded()["extraction_fps"] == 2400.0
+    bench._store_last_recorded({"value": 2500.0, "mfu": 0.37, "train": None})
+    assert bench._last_recorded() == {"extraction_fps": 2500.0, "mfu": 0.37}
+
+    # corrupt record -> fallback, no exception
+    record.write_text("{nope")
+    assert bench._last_recorded()["extraction_fps"] == fb["extraction_fps"]
+
+    # the outage artifact quotes the record
+    record.unlink()
+    bench._store_last_recorded({"value": 2401.5, "mfu": 0.361,
+                                "train": {"samples_per_sec": 333.0}})
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench._emit_outage_artifact("test")
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["last_recorded_on_chip"]["extraction_fps"] == 2401.5
+
+
 def test_repo_flops_cache_is_seeded():
     """bench.py ships with the cache pre-seeded for the two headline programs,
     so even a first slow-host run reports nonzero mfu. Values must be in the
