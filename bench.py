@@ -125,6 +125,9 @@ def _last_recorded() -> dict:
     try:
         with open(_LAST_RUN_PATH) as f:
             row = json.load(f)
+        # quote only positive measurements (a stored 0.0 is not a record)
+        row = {k: v for k, v in row.items()
+               if isinstance(v, (int, float)) and v > 0}
         if row.get("extraction_fps", 0) > 0:
             return row
     except Exception:
@@ -136,10 +139,22 @@ def _last_recorded() -> dict:
 
 def _store_last_recorded(result: dict) -> None:
     """Persist the just-measured headline numbers for future fallback rows;
-    best-effort, never fails the bench, never stores a zero run."""
+    best-effort, never fails the bench, never stores a zero run. MERGES into
+    the existing record per field: a run whose train phase failed (or whose
+    cost analysis was skipped without a cache hit) must not erase the
+    last-known-good train/mfu numbers the fallback artifacts quote."""
     if result.get("value", 0) <= 0:
         return
-    row = {"extraction_fps": result["value"], "mfu": result.get("mfu", 0.0)}
+    try:
+        with open(_LAST_RUN_PATH) as f:
+            row = json.load(f)
+        if not isinstance(row, dict):
+            row = {}
+    except Exception:
+        row = {}
+    row["extraction_fps"] = result["value"]
+    if result.get("mfu", 0) > 0:
+        row["mfu"] = result["mfu"]
     train = result.get("train") or {}
     if train.get("samples_per_sec", 0) > 0:
         row["train_samples_per_sec"] = train["samples_per_sec"]
@@ -319,20 +334,23 @@ def measure_train(jax, jnp, publish=None):
         # else from the committed cache; returns None when neither is
         # available.
         key = f"train:densenet121:{DATA_SHAPE}:b{row['batch']}:{row['remat']}"
+        flops, source = 0.0, "live"
         if allow_compile:
             flops = _flops_of(step, *sds)
             _store_flops(key, flops)
             _phase(f"train batch {row['batch']} remat={row['remat']}: "
                    "cost analysis done")
-        else:
-            flops = _cached_flops(key)
+        if flops <= 0:
+            # deadline-skipped OR the backend exposed no cost analysis —
+            # either way the committed cache still holds the static count
+            flops, source = _cached_flops(key), "cached"
         if flops <= 0:
             return None
         tflops = flops / dt / 1e12
         out = dict(row)
         out["tflops"] = round(tflops, 1)
         out["mfu"] = round(tflops / V5E_PEAK_TFLOPS, 3)
-        if not allow_compile:
+        if source == "cached":
             out["flops_source"] = "cached"
         return out
 
@@ -861,21 +879,19 @@ def train_legs_bench():
                             (state, images, labels))
     record("full", timed_loop(run_full, 2, 8), step, *sds_full)
 
-    leg_row = _leg_row
-
     aug, fwd, grad, upd, full = (legs[k] for k in
                                  ("aug", "fwd", "grad", "upd", "full"))
     table = [
-        leg_row("augment", aug["ms"], aug["bytes"], aug["xla_optimal_ms"]),
-        leg_row("forward(+aug)", fwd["ms"], fwd["bytes"],
+        _leg_row("augment", aug["ms"], aug["bytes"], aug["xla_optimal_ms"]),
+        _leg_row("forward(+aug)", fwd["ms"], fwd["bytes"],
                 fwd["xla_optimal_ms"]),
-        leg_row("backward (grad-fwd)", grad["ms"] - fwd["ms"],
+        _leg_row("backward (grad-fwd)", grad["ms"] - fwd["ms"],
                 grad["bytes"] - fwd["bytes"]),
-        leg_row("update (full-grad)", full["ms"] - grad["ms"],
+        _leg_row("update (full-grad)", full["ms"] - grad["ms"],
                 full["bytes"] - grad["bytes"]),
-        leg_row("update (standalone)", upd["ms"], upd["bytes"],
+        _leg_row("update (standalone)", upd["ms"], upd["bytes"],
                 upd["xla_optimal_ms"]),
-        leg_row("FULL STEP", full["ms"], full["bytes"],
+        _leg_row("FULL STEP", full["ms"], full["bytes"],
                 full["xla_optimal_ms"]),
     ]
     print(json.dumps({
@@ -1204,13 +1220,14 @@ def main():
 
     if best_images is not None:
         key = f"extract:densenet121:{DATA_SHAPE}:b{best_batch}"
+        best_flops = 0.0
         if _have_time("extraction cost analysis", expected_s=45.0):
             best_flops = _flops_of(extract_one, variables, best_images)
             _store_flops(key, best_flops)
-        else:
-            # deadline skipped the live compile: FLOPs are static, so the
-            # committed cache keeps mfu/tflops from regressing to 0.0 —
-            # flops_source marks the row
+        if best_flops <= 0:
+            # deadline skipped the live compile, or the backend exposed no
+            # cost analysis: FLOPs are static, so the committed cache keeps
+            # mfu/tflops from regressing to 0.0 — flops_source marks the row
             best_flops = _cached_flops(key)
             if best_flops > 0:
                 result["flops_source"] = "cached"

@@ -230,29 +230,31 @@ def _exec_mode(spec_json: str) -> int:
 def _run_driver(module: str, argv: list[str], cwd: str, platform: str,
                 log_dir: str, tag: str) -> None:
     """Run one driver CLI in a subprocess (absl flags are process-global, so
-    each row gets a fresh interpreter), teeing output to ``<log_dir>/<tag>.log``."""
+    each row gets a fresh interpreter), streaming its interleaved
+    stdout+stderr LIVE to ``<log_dir>/<tag>.log`` — a real-mode extraction or
+    training row runs for hours, so the log must be tailable mid-run and the
+    output must not accumulate in memory."""
     spec = json.dumps({"module": module, "argv": argv, "platform": platform})
     env = dict(os.environ)
     parts = [REPO_ROOT] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
     env["PYTHONPATH"] = os.pathsep.join(parts)
-    tic = time.time()
-    proc = subprocess.run(
-        [sys.executable, "-m", "tennis_tpu.parity", "--_exec", spec],
-        cwd=cwd, env=env, capture_output=True, text=True,
-    )
     os.makedirs(log_dir, exist_ok=True)
     log_path = os.path.join(log_dir, f"{tag}.log")
+    tic = time.time()
     with open(log_path, "w") as f:
-        f.write(f"$ {module} {' '.join(argv[1:])}\n--- stdout ---\n")
-        f.write(proc.stdout)
-        f.write("\n--- stderr ---\n")
-        f.write(proc.stderr)
+        f.write(f"$ {module} {' '.join(argv[1:])}\n")
+        f.flush()
+        proc = subprocess.run(
+            [sys.executable, "-m", "tennis_tpu.parity", "--_exec", spec],
+            cwd=cwd, env=env, stdout=f, stderr=subprocess.STDOUT, text=True,
+        )
     print(f"#   {tag}: rc={proc.returncode} ({time.time() - tic:.0f}s) "
           f"log={log_path}", flush=True)
     if proc.returncode != 0:
+        with open(log_path) as f:
+            tail = f.read()[-2000:]
         raise RuntimeError(
-            f"{tag} failed (rc={proc.returncode}); tail:\n"
-            + proc.stderr[-2000:])
+            f"{tag} failed (rc={proc.returncode}); tail:\n{tail}")
 
 
 def _eval_row(row: str, root: str, cwd: str, platform: str, log_dir: str,
@@ -327,6 +329,12 @@ def main(argv=None) -> int:
                    help="jax platform override for driver subprocesses "
                         "(dry-run default: cpu)")
     args = p.parse_args(argv)
+    # Driver subprocesses run with cwd=workdir; a --root/--workdir given
+    # relative to THIS process's cwd would resolve differently in the child.
+    if args.root:
+        args.root = os.path.abspath(args.root)
+    if args.workdir:
+        args.workdir = os.path.abspath(args.workdir)
 
     rows = [r.strip() for r in args.rows.split(",") if r.strip()]
     unknown = [r for r in rows if r not in ALL_ROWS]
@@ -349,6 +357,7 @@ def main(argv=None) -> int:
             p.error("--root is required (or pass --dry-run)")
         root = args.root
         workdir = args.workdir or os.getcwd()
+        os.makedirs(workdir, exist_ok=True)
         platform = args.platform or ""
     log_dir = os.path.join(workdir, "parity_logs")
 

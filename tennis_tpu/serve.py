@@ -328,6 +328,13 @@ def build_service():
                 return self._reply(400, {
                     "error": f"expected (T, {feat_dim}) features, got "
                              f"{feats.shape}"})
+            # a well-formed .npy can carry strings/datetimes — reject before
+            # the float32 assignment below raises out of the handler
+            if not np.issubdtype(feats.dtype, np.number) or \
+                    np.issubdtype(feats.dtype, np.complexfloating):
+                return self._reply(400, {
+                    "error": f"expected real numeric features, got dtype "
+                             f"{feats.dtype}"})
             if feats.shape[1] != feat_dim:
                 return self._reply(400, {
                     "error": f"feature dim {feats.shape[1]} != model's "

@@ -61,7 +61,10 @@ def load_state(path: str, target):
     """
     with open(path, "rb") as f:
         restored = serialization.from_bytes(target, f.read())
+    return _place_like(target, restored)
 
+
+def _place_like(target, restored):
     def place(t, r):
         sh = getattr(t, "sharding", None)
         if isinstance(t, jax.Array) and sh is not None and sh.is_fully_addressable:
@@ -142,16 +145,20 @@ def resume_epoch(exp_dir: str) -> int:
 
 def resume_state(exp_dir: str, target) -> tuple[int, object]:
     """Crash-safe resume: walk checkpoints newest-first, restoring the first
-    readable one. An unreadable file (e.g. truncated by a crash under a
-    pre-atomic writer, or a torn copy) is quarantined to ``<name>.corrupt``
-    and the scan continues with the next-newest epoch instead of poisoning
-    the run. Returns ``(start_epoch, state)`` — ``(0, target)`` when nothing
-    restorable exists (same contract as ``resume_epoch`` + ``load_state``,
-    reference train.py:286-295)."""
+    readable one. A file whose BYTES are unreadable (e.g. truncated by a crash
+    under a pre-atomic writer, or a torn copy) is quarantined to
+    ``<name>.corrupt`` and the scan continues with the next-newest epoch
+    instead of poisoning the run. A file that parses but does not match the
+    ``target`` template is an architecture/flag mismatch, NOT corruption — it
+    raises with the checkpoint left intact rather than silently quarantining
+    every valid epoch and restarting from 0. Returns ``(start_epoch, state)``
+    — ``(0, target)`` when nothing restorable exists (same contract as
+    ``resume_epoch`` + ``load_state``, reference train.py:286-295)."""
     for epoch in reversed(list_epochs(exp_dir)):
         path = epoch_path(exp_dir, epoch)
         try:
-            return epoch + 1, load_state(path, target)
+            with open(path, "rb") as f:
+                state_dict = serialization.msgpack_restore(f.read())
         except Exception as e:
             quarantine = path + ".corrupt"
             try:
@@ -162,6 +169,15 @@ def resume_state(exp_dir: str, target) -> tuple[int, object]:
                 "unreadable checkpoint %s (%s: %s) — quarantined to %s, "
                 "trying the next-newest epoch", path, type(e).__name__, e,
                 quarantine)
+            continue
+        try:
+            restored = serialization.from_state_dict(target, state_dict)
+        except Exception as e:
+            raise ValueError(
+                f"checkpoint {path} parsed cleanly but does not match the "
+                f"model template — architecture/flag mismatch, not file "
+                f"corruption; the file was left intact ({e})") from e
+        return epoch + 1, _place_like(target, restored)
     return 0, target
 
 

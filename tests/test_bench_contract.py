@@ -162,11 +162,17 @@ def test_last_recorded_roundtrip_and_fallback(monkeypatch, tmp_path):
     assert row == {"extraction_fps": 2400.0, "mfu": 0.36,
                    "train_samples_per_sec": 340.0}
 
-    # a zero/failed run must NOT clobber it; nor must a missing train row
+    # a zero/failed run must NOT clobber it
     bench._store_last_recorded({"value": 0.0, "mfu": 0.0, "train": None})
     assert bench._last_recorded()["extraction_fps"] == 2400.0
-    bench._store_last_recorded({"value": 2500.0, "mfu": 0.37, "train": None})
-    assert bench._last_recorded() == {"extraction_fps": 2500.0, "mfu": 0.37}
+    # fields MERGE: a run whose train phase failed (or whose mfu was
+    # skipped without a cache hit) keeps the last-known-good values
+    bench._store_last_recorded({"value": 2500.0, "mfu": 0.0, "train": None})
+    assert bench._last_recorded() == {"extraction_fps": 2500.0, "mfu": 0.36,
+                                      "train_samples_per_sec": 340.0}
+    # a stored non-positive field is never quoted back
+    record.write_text(json.dumps({"extraction_fps": 2500.0, "mfu": 0.0}))
+    assert "mfu" not in bench._last_recorded()
 
     # corrupt record -> fallback, no exception
     record.write_text("{nope")

@@ -111,6 +111,28 @@ def test_resume_state_quarantines_truncated_newest(tmp_path):
     assert start_epoch2 == 2
 
 
+def test_resume_state_mismatch_raises_and_preserves_file(tmp_path):
+    """A checkpoint whose BYTES parse cleanly but whose structure differs from
+    the template (wrong architecture flags on the relaunch) must raise loudly
+    with the file intact — NOT quarantine every valid epoch and silently
+    restart from 0."""
+    d = str(tmp_path)
+    state = _state()
+    ckpt.save_state(ckpt.epoch_path(d, 0), state)
+
+    wrong_template = {"params": {"different_layer": jnp.zeros((3,))}}
+    with pytest.raises(ValueError, match="mismatch"):
+        ckpt.resume_state(d, wrong_template)
+    # nothing quarantined, nothing renamed: the checkpoint is still the newest
+    assert os.listdir(d) == ["0000.params"]
+    # the right template still resumes from it
+    zero = jax.tree_util.tree_map(jnp.zeros_like, state)
+    start_epoch, restored = ckpt.resume_state(d, zero)
+    assert start_epoch == 1
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]), np.asarray(state["params"]["w"]))
+
+
 def test_resume_state_empty_dir_returns_target(tmp_path):
     zero = jax.tree_util.tree_map(jnp.zeros_like, _state())
     start_epoch, restored = ckpt.resume_state(str(tmp_path), zero)

@@ -110,3 +110,27 @@ def test_exec_mode_rejects_unknown_module():
     with pytest.raises(ValueError, match="unknown driver module"):
         parity.main(["--_exec", json.dumps(
             {"module": "nope", "argv": [], "platform": ""})])
+
+
+def test_relative_root_and_workdir_are_absolutized(tmp_path, monkeypatch):
+    """Driver subprocesses run with cwd=workdir; a --root given relative to
+    the PARENT's cwd must be absolutized before it reaches them, or every row
+    resolves the dataset against the wrong directory (verified end-to-end by
+    the --dry-run drive; pinned here without spawning drivers)."""
+    import os
+
+    seen = {}
+
+    def fake_run_driver(module, argv, cwd, platform, log_dir, tag):
+        seen["cwd"] = cwd
+        seen["root"] = next(a for a in argv if a.startswith("--root="))[7:]
+        raise RuntimeError("stop after first driver")
+
+    monkeypatch.setattr(parity, "_run_driver", fake_run_driver)
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "data" / "frames").mkdir(parents=True)
+    rc = parity.main(["--root", "data", "--workdir", "w", "--rows", "0006"])
+    assert rc == 1  # the stubbed driver failed; the row reported, not crashed
+    assert os.path.isabs(seen["cwd"]) and seen["cwd"] == str(tmp_path / "w")
+    assert os.path.isabs(seen["root"]) and seen["root"] == str(
+        tmp_path / "data")

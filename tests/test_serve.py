@@ -266,10 +266,15 @@ def test_caption_endpoint(tmp_path, monkeypatch):
     np.save(buf2, long_feats)
     assert post(buf2.getvalue())["frames_used"] == 16
 
-    # wrong feature dim and non-npy bodies are clean 400s
+    # wrong feature dim, non-npy, and non-numeric-dtype bodies are clean 400s
+    # (a (T, D) unicode array loads fine under allow_pickle=False but would
+    # raise out of the float32 copy — must 400, not drop the connection)
     bad_dim = io.BytesIO()
     np.save(bad_dim, np.zeros((5, 7), np.float32))
-    for body in (bad_dim.getvalue(), b"definitely not npy"):
+    bad_dtype = io.BytesIO()
+    np.save(bad_dtype, np.full((5, 32), "a", dtype="<U1"))
+    for body in (bad_dim.getvalue(), b"definitely not npy",
+                 bad_dtype.getvalue()):
         req = urllib.request.Request(url + "/caption", data=body,
                                      method="POST")
         with pytest.raises(urllib.error.HTTPError) as e:
