@@ -121,6 +121,12 @@ _LAST_RUN_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench_last.json")
 
 
+# Persistent XLA compile cache, repo-relative like the records above — a
+# checkout at any other path must not silently miss the cache every run.
+_JAX_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+
+
 def _last_recorded() -> dict:
     try:
         with open(_LAST_RUN_PATH) as f:
@@ -675,7 +681,7 @@ def train_legs_bench():
     import jax.numpy as jnp
 
     _devices_or_emit_fallback()
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _JAX_CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from functools import partial
@@ -928,7 +934,7 @@ def hbm_peak_bench():
     import jax.numpy as jnp
 
     _devices_or_emit_fallback()
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _JAX_CACHE_DIR)
 
     from functools import partial
 
@@ -1059,7 +1065,7 @@ def main():
     from tennis_tpu.data.transforms import device_prepare
     from tennis_tpu.models import FrameModel, get_backbone
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _JAX_CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     _phase(f"devices: {jax.devices()}")

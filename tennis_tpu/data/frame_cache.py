@@ -34,8 +34,9 @@ def cache_dir(root: str, short: int) -> str:
 def resize_encode_one(src: str, dst: str, short: int, quality: int = 95) -> bool:
     """Write ``dst`` as ``src`` resized to short side ``short``; returns whether
     a write happened. Fresh destinations (mtime >= source's) are skipped.
-    Sources already at or below the target short side are copied verbatim —
-    no pointless re-encode generation loss.
+    Sources already below the target short side are copied verbatim — no
+    pointless re-encode generation loss. (Exactly-at-target decodes are
+    re-encoded: they can be a DCT prescale of a larger source.)
 
     Writes land via a temp file + atomic ``os.replace``: the freshness check
     above trusts mtime, so a build killed mid-write must never leave a
@@ -50,10 +51,17 @@ def resize_encode_one(src: str, dst: str, short: int, quality: int = 95) -> bool
     img = _read_image_rgb(src, min_short=short)  # DCT prescale where >= 2x
     tmp = f"{dst}.tmp.{os.getpid()}.jpg"  # cv2 needs the extension
     try:
-        if min(img.shape[:2]) <= short:
+        # The prescaled decode's short side is >= `short` whenever a scale
+        # engaged (native/jpeg.py tjp_dims contract), so a decode BELOW the
+        # target proves the SOURCE is already small -> copy verbatim. AT the
+        # target is ambiguous (tiny source, or a /2^k scale landing exactly
+        # on it from a >= 2x source) -> encode the decoded pixels, never copy
+        # a possibly-full-res original into the cache.
+        if min(img.shape[:2]) < short:
             shutil.copyfile(src, tmp)
         else:
-            img = resize_shorter(img, short)
+            if min(img.shape[:2]) > short:
+                img = resize_shorter(img, short)
             ok = cv2.imwrite(tmp, cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
                              [cv2.IMWRITE_JPEG_QUALITY, quality])
             if not ok:

@@ -105,6 +105,12 @@ def decode_rgb(data: bytes, data_shape: int) -> np.ndarray:
         if bgr is None:
             raise ValueError("body is not a decodable image")
         rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+    h, w = rgb.shape[:2]
+    # resize_shorter scales the LONG side by data_shape/short: a degenerate
+    # 1xN image would ask cv2 for a multi-GB buffer before failing — reject
+    # extreme aspect ratios up front (broadcast frames are ~16:9)
+    if min(h, w) == 0 or max(h, w) / min(h, w) > 20:
+        raise ValueError(f"degenerate image geometry {h}x{w}")
     return test_geometry(rgb, data_shape)
 
 
@@ -293,8 +299,10 @@ def build_service():
                 return
             try:
                 img = decode_rgb(body, data_shape)
-            except ValueError as e:
-                return self._reply(400, {"error": str(e)})
+            except Exception as e:
+                # cv2.error/MemoryError from adversarial images are the
+                # client's fault too — a 400, never a dropped connection
+                return self._reply(400, {"error": f"{type(e).__name__}: {e}"})
             probs = self._submit(batcher, img)
             if probs is None:
                 return
@@ -328,10 +336,10 @@ def build_service():
                 return self._reply(400, {
                     "error": f"expected (T, {feat_dim}) features, got "
                              f"{feats.shape}"})
-            # a well-formed .npy can carry strings/datetimes — reject before
-            # the float32 assignment below raises out of the handler
-            if not np.issubdtype(feats.dtype, np.number) or \
-                    np.issubdtype(feats.dtype, np.complexfloating):
+            # a well-formed .npy can carry strings/datetimes/timedeltas —
+            # whitelist real numeric kinds before the float32 copy below
+            # (np.number would admit timedelta64, which subclasses integer)
+            if feats.dtype.kind not in "fiu":
                 return self._reply(400, {
                     "error": f"expected real numeric features, got dtype "
                              f"{feats.dtype}"})

@@ -80,6 +80,20 @@ def test_small_sources_copied_verbatim(root, tmp_path):
     assert open(src, "rb").read() == open(dst, "rb").read()
 
 
+def test_prescale_landing_exactly_on_target_still_resizes(root):
+    """A 2x-oversized source whose DCT prescale lands EXACTLY on the target
+    (128-short fixture at --short 64: the native decoder's 4/8 scale returns
+    a 64-short image) must be written at the target size — not mistaken for
+    an already-small source and copied into the cache at full resolution."""
+    build_frame_cache(root, 64, workers=2)
+    img = _read_image_rgb(get_image_path(cache_dir(root, 64), "V900", 0))
+    assert min(img.shape[:2]) == 64, img.shape
+    # and it is a real re-encode, not a byte-copy of the 128-short original
+    src = get_image_path(os.path.join(root, "frames"), "V900", 0)
+    dst = get_image_path(cache_dir(root, 64), "V900", 0)
+    assert open(src, "rb").read() != open(dst, "rb").read()
+
+
 def test_dataset_reads_cache_with_fallback(root, built):
     ds = TennisSet(root=root, split="val", split_id="02", balance=False,
                    frames_cache=SHORT)

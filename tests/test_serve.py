@@ -273,8 +273,10 @@ def test_caption_endpoint(tmp_path, monkeypatch):
     np.save(bad_dim, np.zeros((5, 7), np.float32))
     bad_dtype = io.BytesIO()
     np.save(bad_dtype, np.full((5, 32), "a", dtype="<U1"))
+    bad_td = io.BytesIO()  # timedelta64 subclasses integer — still not real
+    np.save(bad_td, np.zeros((5, 32), dtype="timedelta64[s]"))
     for body in (bad_dim.getvalue(), b"definitely not npy",
-                 bad_dtype.getvalue()):
+                 bad_dtype.getvalue(), bad_td.getvalue()):
         req = urllib.request.Request(url + "/caption", data=body,
                                      method="POST")
         with pytest.raises(urllib.error.HTTPError) as e:
