@@ -335,6 +335,17 @@ def train_and_evaluate():
             state = ckpt.load_state(ckpt.epoch_path(exp_dir, best[0]), state)
             logging.info("dumping features from best epoch %d (score=%.4f)",
                          best[0], best[1])
+        # the dump must cover EVERY sample: the train loader above is built
+        # for SGD (shuffle + drop_last), which would silently skip up to
+        # batch_size-1 arbitrary train samples — the reference's loader keeps
+        # the ragged last batch (reference train.py:187-188)
+        loaders = dict(loaders)
+        loaders["train"] = DataLoader(
+            train_set, batch_size=host_batch, shuffle=False, seed=FLAGS.seed,
+            num_workers=num_workers, drop_last=False,
+            num_shards=jax.process_count(), shard_id=jax.process_index(),
+            transform=None if feats else _geometry_transform(True),
+        )
         save_features(model, state, [train_set, val_set, test_set], loaders, mesh)
         return state
 

@@ -303,7 +303,13 @@ def train(argv=None):
     if start_epoch > 0:
         params, opt_state = restored["params"], restored["opt_state"]
         batch_stats = restored["batch_stats"]
-        logging.info("resumed from epoch %d", start_epoch - 1)
+        # resync the local decay-compounding variable from the restored
+        # hyperparam: a resume inside the decay zone must keep compounding
+        # from the restored LR (the reference compounds off
+        # trainer.learning_rate, train_gnmt.py:456-459), not restart the
+        # ×factor chain from FLAGS.lr
+        lr = float(opt_state.hyperparams["learning_rate"])
+        logging.info("resumed from epoch %d (lr %g)", start_epoch - 1, lr)
 
     # donating jitted step from the shared parallel harness (params + Adam
     # moments update in place; the dropout key derives from a host seed inside
@@ -454,6 +460,15 @@ def train(argv=None):
         _write_sentences(val_hyps, os.path.join(exp_dir, f"epoch{epoch}_val_out.txt"))
         _write_sentences(test_hyps,
                          os.path.join(exp_dir, f"epoch{epoch}_test_out.txt"))
+        # LR decay ×factor each epoch in the last third (reference
+        # train_gnmt.py:456-459). Applied BEFORE this epoch's checkpoint so the
+        # saved hyperparam is exactly the LR the next epoch trains with — a
+        # resume then restores the decay chain losslessly (it sits between
+        # epochs either way, so continuous-run behavior is unchanged).
+        if epoch + 1 >= (FLAGS.epochs * 2) // 3:
+            lr *= FLAGS.lr_update_factor
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+            logging.info("lr decayed to %g", lr)
         ckpt.save_state(ckpt.epoch_path(exp_dir, epoch),
                         {"params": params, "batch_stats": batch_stats,
                          "opt_state": opt_state})
@@ -465,13 +480,6 @@ def train(argv=None):
                             {"params": params, "batch_stats": batch_stats})
             _write_sentences(test_hyps, os.path.join(exp_dir, "best_test_out.txt"))
             logging.info("new best BLEU4 %.2f at epoch %d", bleu4, epoch)
-
-        # LR decay ×factor each epoch in the last third (reference
-        # train_gnmt.py:456-459)
-        if epoch + 1 >= (FLAGS.epochs * 2) // 3:
-            lr *= FLAGS.lr_update_factor
-            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
-            logging.info("lr decayed to %g", lr)
 
     return params
 

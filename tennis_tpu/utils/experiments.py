@@ -24,6 +24,21 @@ def experiment_dir(kind: str, model_id: str, base: str = ".") -> str:
 def setup_logging(exp_dir: str, flags_dict: dict | None = None):
     logger = logging.getLogger()
     logger.setLevel(logging.INFO)
+    # in-process re-invocation hygiene (examples/full_pipeline.py chains
+    # drivers): absl's --verbosity flag re-parse resets the 'absl' logger to
+    # WARNING (verbosity -1), silently dropping every INFO line of the second
+    # run — pin it back to INFO; and drop the previous run's FileHandler so
+    # lines stop duplicating into stale experiment logs
+    try:
+        from absl import logging as absl_logging
+
+        absl_logging.set_verbosity(absl_logging.INFO)
+    except ImportError:  # pragma: no cover
+        pass
+    for h in list(logger.handlers):
+        if isinstance(h, logging.FileHandler):
+            logger.removeHandler(h)
+            h.close()
     if not any(isinstance(h, logging.StreamHandler) for h in logger.handlers):
         logger.addHandler(logging.StreamHandler())
     fh = logging.FileHandler(os.path.join(exp_dir, "log.txt"))

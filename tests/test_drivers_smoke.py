@@ -48,7 +48,14 @@ def test_train_evaluate_vision_cycle(env):
         f for _, _, files in os.walk(os.path.join(root, "features", "t1"))
         for f in files if f.endswith(".npy")
     ]
-    assert len(feats) > 0
+    # EVERY frame must be dumped (the ±255 save_feats extension covers the
+    # whole fixture): the train split must not lose its ragged last batch to
+    # the SGD loader's drop_last (reference train.py:187-188 keeps it)
+    n_frames = sum(
+        1 for _, _, files in os.walk(os.path.join(root, "frames"))
+        for f in files if f.endswith(".jpg")
+    )
+    assert len(feats) == n_frames, (len(feats), n_frames)
 
 
 def test_train_temp_pool_final_test(env):
@@ -210,23 +217,25 @@ def test_evaluate_save_feats_dumps_split_only(env):
     assert not missing, f"val features not restored: {missing[:3]}"
 
 
+def _make_feature_store(root, name, dim=32):
+    """Tiny .npy feature store covering every on-disk fixture frame."""
+    from tennis_tpu.data.tennis_set import get_feature_path
+
+    rng = np.random.default_rng(0)
+    for video in ("V900", "V901"):
+        n = 60 if video == "V900" else 50
+        for frame in range(n):
+            path = get_feature_path(os.path.join(root, "features", name),
+                                    video, frame)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            np.save(path, rng.normal(size=(dim,)).astype(np.float32))
+
+
 def test_train_gnmt_cycle(env):
     root, workdir = env
     from tennis_tpu.train_gnmt import main as gnmt_main
 
-    # make a tiny feature store for the captioner
-    from tennis_tpu.data.tennis_set import get_feature_path
-
-    rng = np.random.default_rng(0)
-    # features for every on-disk frame
-    for video in ("V900", "V901"):
-        n = 60 if video == "V900" else 50
-        for frame in range(n):
-            path = get_feature_path(os.path.join(root, "features", "tf"), video,
-                                    frame)
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            np.save(path, rng.normal(size=(32,)).astype(np.float32))
-
+    _make_feature_store(root, "tf")
     gnmt_main([
         "train_gnmt.py", f"--root={root}", "--model_id=g1", "--feats_model=tf",
         "--epochs=1", "--batch_size=4", "--test_batch_size=4", "--num_hidden=16",
@@ -258,6 +267,43 @@ def test_train_gnmt_cycle(env):
     ])
     assert open(os.path.join(exp, "best_test_out.txt")).read() == single
     assert suite4 == suite
+
+
+def test_train_gnmt_resume_keeps_decay_chain(env):
+    """A resume inside the LR-decay zone must keep compounding from the
+    restored LR (reference compounds off trainer.learning_rate,
+    train_gnmt.py:456-459), not restart the ×factor chain from FLAGS.lr."""
+    root, workdir = env
+    import math
+
+    from tennis_tpu.train_gnmt import main as gnmt_main
+
+    _make_feature_store(root, "tf")
+    args = [
+        "train_gnmt.py", f"--root={root}", "--model_id=gres", "--feats_model=tf",
+        "--epochs=4", "--batch_size=4", "--test_batch_size=4", "--num_hidden=16",
+        "--emb_size=8", "--num_buckets=1", "--tgt_max_len=10", "--emb_file=",
+        "--log_interval=10", "--max_batches=1", "--lr=0.01",
+        "--lr_update_factor=0.5",
+    ]
+    gnmt_main(args)
+    exp = os.path.join(workdir, "models", "captioning", "experiments", "gres")
+    # decay zone: epoch+1 >= (4*2)//3=2 → decays at epochs 1,2,3
+    # simulate a crash after epoch 1: drop the later checkpoints and the log
+    os.remove(os.path.join(exp, "0002.params"))
+    os.remove(os.path.join(exp, "0003.params"))
+    os.remove(os.path.join(exp, "log.txt"))
+    gnmt_main(args)
+
+    log = open(os.path.join(exp, "log.txt")).read()
+    assert "resumed from epoch 1" in log
+    decays = [float(line.rsplit(" ", 1)[1]) for line in log.splitlines()
+              if "lr decayed to" in line]
+    # resumed at epoch 2 with the restored lr 0.005: the remaining decays are
+    # 0.0025 and 0.00125 (a chain restarted from FLAGS.lr would log 0.005 first)
+    assert len(decays) == 2, decays
+    assert math.isclose(decays[0], 0.0025, rel_tol=1e-5), decays
+    assert math.isclose(decays[1], 0.00125, rel_tol=1e-5), decays
 
 
 def test_train_gnmt_num_devices(env):
