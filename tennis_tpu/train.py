@@ -388,6 +388,10 @@ def train_and_evaluate():
         return metrics
 
     profile_left = FLAGS.profile_steps
+    # epoch checkpoints stream to disk from a background writer; the snapshot
+    # (device_get) stays synchronous so the next donated step can't invalidate
+    # the buffers mid-save
+    ckpt_writer = ckpt.AsyncCheckpointer()
     for epoch in range(start_epoch, FLAGS.epochs):
         loaders["train"].set_epoch(epoch)
         tic = time.time()
@@ -439,7 +443,10 @@ def train_and_evaluate():
         if tb:
             tb.add_scalar("val/AVG_NB_f1", score, epoch)
         ckpt.append_score(exp_dir, epoch, score)
-        ckpt.save_state(ckpt.epoch_path(exp_dir, epoch), state)
+        ckpt_writer.save(ckpt.epoch_path(exp_dir, epoch), state)
+
+    # drain pending checkpoint writes before any reader touches the files
+    ckpt_writer.close()
 
     # final test with the best epoch
     best = ckpt.best_epoch(exp_dir)

@@ -394,6 +394,9 @@ def train(argv=None):
 
     best_bleu = -1.0
     seed_rng = np.random.default_rng(FLAGS.seed + 1)
+    # epoch + valid_best checkpoints stream from a background writer (snapshot
+    # stays synchronous; writes land in submission order)
+    ckpt_writer = ckpt.AsyncCheckpointer()
     for epoch in range(start_epoch, FLAGS.epochs):
         loaders["train"].set_epoch(epoch)
         tic = time.time()
@@ -469,18 +472,20 @@ def train(argv=None):
             lr *= FLAGS.lr_update_factor
             opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
             logging.info("lr decayed to %g", lr)
-        ckpt.save_state(ckpt.epoch_path(exp_dir, epoch),
-                        {"params": params, "batch_stats": batch_stats,
-                         "opt_state": opt_state})
+        ckpt_writer.save(ckpt.epoch_path(exp_dir, epoch),
+                         {"params": params, "batch_stats": batch_stats,
+                          "opt_state": opt_state})
         ckpt.append_score(exp_dir, epoch, bleu4)
         if bleu4 > best_bleu:
             best_bleu = bleu4
             # no optimizer state: the evaluator restores params + stats only
-            ckpt.save_state(os.path.join(exp_dir, "valid_best.params"),
-                            {"params": params, "batch_stats": batch_stats})
+            ckpt_writer.save(os.path.join(exp_dir, "valid_best.params"),
+                             {"params": params, "batch_stats": batch_stats})
             _write_sentences(test_hyps, os.path.join(exp_dir, "best_test_out.txt"))
             logging.info("new best BLEU4 %.2f at epoch %d", bleu4, epoch)
 
+    # drain pending writes before same-process readers (evaluate_gnmt chains)
+    ckpt_writer.close()
     return params
 
 

@@ -28,15 +28,11 @@ from flax import serialization
 _EPOCH_RE = re.compile(r"^(\d{4})\.params$")
 
 
-def save_state(path: str, state) -> None:
-    """Atomic checkpoint write: serialize to a same-directory temp file, fsync,
-    then ``os.replace``. A process killed mid-save can therefore never leave a
-    truncated ``.params`` that the resume scan would pick as the newest epoch
-    (the reference writes in place, reference train.py:497; hardened here with
-    the same temp+replace pattern used for the native .so build)."""
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    host_state = jax.device_get(state)
-    data = serialization.to_bytes(host_state)
+def _atomic_write(path: str, data: bytes) -> None:
+    """Write via a same-directory temp file, fsync, then ``os.replace`` — a
+    process killed mid-save can never leave a truncated ``.params`` that the
+    resume scan would pick as the newest epoch."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = f"{path}.tmp.{os.getpid()}"
     try:
         with open(tmp, "wb") as f:
@@ -48,6 +44,13 @@ def save_state(path: str, state) -> None:
         if os.path.exists(tmp):
             os.remove(tmp)
         raise
+
+
+def save_state(path: str, state) -> None:
+    """Atomic checkpoint write (the reference writes in place, reference
+    train.py:497; hardened here with the same temp+replace pattern used for
+    the native .so build)."""
+    _atomic_write(path, serialization.to_bytes(jax.device_get(state)))
 
 
 def load_state(path: str, target):
@@ -183,6 +186,57 @@ def resume_state(exp_dir: str, target) -> tuple[int, object]:
 
 def param_count(params) -> int:
     return int(sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(params)))
+
+
+class AsyncCheckpointer:
+    """Overlap the msgpack encode + disk write with the next epoch's compute.
+
+    ``save(path, state)`` snapshots the state to host memory synchronously
+    (``jax.device_get`` — it must complete before the caller's next donated
+    train step invalidates the device buffers), then hands the encode and the
+    atomic temp+``os.replace`` write to a single background worker. Writes
+    complete in submission order, so the resume scan's newest-epoch rule only
+    ever sees a consistent prefix of the saved epochs. ``wait()`` blocks until
+    the queue drains and re-raises the first failure; it runs automatically on
+    context-manager exit — call it before any same-process reader (best-epoch
+    reload, evaluators) touches the files.
+
+    The reference writes synchronously on the training thread
+    (reference train.py:497); the overlap is a TPU-side improvement — the
+    device sits idle during a multi-hundred-MB serialize otherwise.
+    """
+
+    def __init__(self):
+        import concurrent.futures
+
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt-writer")
+        self._futures: list = []
+
+    def save(self, path: str, state) -> None:
+        host_state = jax.device_get(state)
+
+        self._futures.append(self._pool.submit(
+            lambda: _atomic_write(path, serialization.to_bytes(host_state))))
+
+    def wait(self) -> None:
+        """Drain pending writes; re-raise the first error (once)."""
+        futures, self._futures = self._futures, []
+        for f in futures:
+            f.result()
+
+    def close(self) -> None:
+        try:
+            self.wait()
+        finally:
+            self._pool.shutdown(wait=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
 
 # ------------------------------------------------------------- orbax backend

@@ -221,3 +221,33 @@ def test_tpu_reachable_timeout_is_unreachable(monkeypatch):
 
     monkeypatch.setattr(subprocess, "run", fake_run)
     assert tunnel.tpu_reachable(timeout_s=0.01) is False
+
+
+def test_async_checkpointer_roundtrip_and_order(tmp_path):
+    """Queued saves land atomically, in order, with the values AT save() time
+    (the snapshot must be immune to later in-place mutation of the state —
+    the gnmt loop mutates opt_state.hyperparams between epochs)."""
+    state = {"w": jnp.arange(4.0), "lr": np.asarray(1e-3)}
+    with ckpt.AsyncCheckpointer() as writer:
+        for epoch in range(3):
+            state["w"] = state["w"] + 1.0
+            state["lr"] = np.asarray(1e-3 * (epoch + 1))
+            writer.save(ckpt.epoch_path(str(tmp_path), epoch), state)
+        writer.wait()
+    assert ckpt.list_epochs(str(tmp_path)) == [0, 1, 2]
+    for epoch in range(3):
+        raw = ckpt.load_raw(ckpt.epoch_path(str(tmp_path), epoch))
+        np.testing.assert_allclose(raw["w"], np.arange(4.0) + epoch + 1)
+        np.testing.assert_allclose(raw["lr"], 1e-3 * (epoch + 1))
+    assert not [f for f in os.listdir(tmp_path) if ".tmp." in f]
+
+
+def test_async_checkpointer_raises_on_wait(tmp_path):
+    writer = ckpt.AsyncCheckpointer()
+    target = tmp_path / "blocked"
+    target.write_text("")  # make the directory path a FILE → makedirs fails
+    writer.save(str(target / "0000.params"), {"w": jnp.zeros(2)})
+    with pytest.raises(Exception):
+        writer.wait()
+    # the error is consumed: close() after a drained failure is clean
+    writer.close()
