@@ -442,17 +442,26 @@ def measure_e2e(run_extract, batch: int, files, n_batches: int = 6,
         with open(p, "rb") as f:
             f.read()
     workers = num_workers or os.cpu_count() or 8
+    # one extra leading batch is consumed BEFORE the clock: worker-pool spawn
+    # and the workers' first-use lazy imports (cv2/transforms) are spin-up,
+    # not steady-state pipeline throughput (same warm-up as loader_bench)
     loader = DataLoader(
-        _JpegDataset(files, native=True, length=n_batches * batch),
+        _JpegDataset(files, native=True, length=(n_batches + 1) * batch),
         batch_size=batch, num_workers=workers,
     )
-    tic = time.perf_counter()
     if run_extract is None:
-        for _batch in iter(loader):
+        it = iter(loader)
+        next(it)
+        tic = time.perf_counter()
+        for _batch in it:
             pass
     else:
+        stream = prefetch_to_device(iter(loader))
+        warm, _l, _i = next(stream)
+        assert np.isfinite(float(run_extract(warm)))  # sync the warm batch
+        tic = time.perf_counter()
         acc = None
-        for images, _labels, _idxs in prefetch_to_device(iter(loader)):
+        for images, _labels, _idxs in stream:
             acc = run_extract(images)
         # device stream is in-order: one fetch syncs everything
         assert np.isfinite(float(acc))

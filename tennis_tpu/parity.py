@@ -252,7 +252,8 @@ def _run_driver(module: str, argv: list[str], cwd: str, platform: str,
           f"log={log_path}", flush=True)
     if proc.returncode != 0:
         with open(log_path) as f:
-            tail = f.read()[-2000:]
+            f.seek(max(0, os.path.getsize(log_path) - 2000))
+            tail = f.read()  # O(1) tail — real-mode logs can be huge
         raise RuntimeError(
             f"{tag} failed (rc={proc.returncode}); tail:\n{tail}")
 

@@ -442,8 +442,11 @@ def train_and_evaluate():
                      time.time() - tic)
         if tb:
             tb.add_scalar("val/AVG_NB_f1", score, epoch)
-        ckpt.append_score(exp_dir, epoch, score)
         ckpt_writer.save(ckpt.epoch_path(exp_dir, epoch), state)
+        # the scores.txt row becomes durable only AFTER its epoch file does —
+        # a crash in between can hide an epoch but never dangle a best-epoch row
+        ckpt_writer.submit(
+            lambda e=epoch, s=score: ckpt.append_score(exp_dir, e, s))
 
     # drain pending checkpoint writes before any reader touches the files
     ckpt_writer.close()

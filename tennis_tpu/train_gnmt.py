@@ -475,7 +475,9 @@ def train(argv=None):
         ckpt_writer.save(ckpt.epoch_path(exp_dir, epoch),
                          {"params": params, "batch_stats": batch_stats,
                           "opt_state": opt_state})
-        ckpt.append_score(exp_dir, epoch, bleu4)
+        # scores.txt row lands only after its epoch file is durable
+        ckpt_writer.submit(
+            lambda e=epoch, s=bleu4: ckpt.append_score(exp_dir, e, s))
         if bleu4 > best_bleu:
             best_bleu = bleu4
             # no optimizer state: the evaluator restores params + stats only

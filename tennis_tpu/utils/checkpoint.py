@@ -112,7 +112,12 @@ def append_score(exp_dir: str, epoch: int, score: float) -> None:
 
 
 def best_epoch(exp_dir: str) -> tuple[int, float] | None:
-    """Argmax epoch from scores.txt (reference train.py:334-346)."""
+    """Argmax epoch from scores.txt (reference train.py:334-346).
+
+    Rows whose ``{epoch:04d}.params`` file is missing are skipped: every
+    caller loads that file next, and a crash between the score append and the
+    checkpoint write landing (or a deleted file) must not turn the best-epoch
+    reload into a FileNotFoundError."""
     path = os.path.join(exp_dir, "scores.txt")
     if not os.path.exists(path):
         return None
@@ -122,6 +127,11 @@ def best_epoch(exp_dir: str) -> tuple[int, float] | None:
             parts = line.split()
             if len(parts) >= 2:
                 epoch, score = int(parts[0]), float(parts[1])
+                if not os.path.exists(epoch_path(exp_dir, epoch)):
+                    logging.warning(
+                        "scores.txt row for epoch %d has no %s — skipping",
+                        epoch, epoch_path(exp_dir, epoch))
+                    continue
                 if best is None or score > best[1]:
                     best = (epoch, score)
     return best
@@ -159,9 +169,13 @@ def resume_state(exp_dir: str, target) -> tuple[int, object]:
     ``resume_epoch`` + ``load_state``, reference train.py:286-295)."""
     for epoch in reversed(list_epochs(exp_dir)):
         path = epoch_path(exp_dir, epoch)
+        # environmental read failures (fd limits, permissions, transient I/O)
+        # propagate: the bytes may be healthy — only a failed PARSE proves
+        # corruption worth quarantining
+        with open(path, "rb") as f:
+            raw = f.read()
         try:
-            with open(path, "rb") as f:
-                state_dict = serialization.msgpack_restore(f.read())
+            state_dict = serialization.msgpack_restore(raw)
         except Exception as e:
             quarantine = path + ".corrupt"
             try:
@@ -194,12 +208,20 @@ class AsyncCheckpointer:
     ``save(path, state)`` snapshots the state to host memory synchronously
     (``jax.device_get`` — it must complete before the caller's next donated
     train step invalidates the device buffers), then hands the encode and the
-    atomic temp+``os.replace`` write to a single background worker. Writes
-    complete in submission order, so the resume scan's newest-epoch rule only
-    ever sees a consistent prefix of the saved epochs. ``wait()`` blocks until
-    the queue drains and re-raises the first failure; it runs automatically on
-    context-manager exit — call it before any same-process reader (best-epoch
-    reload, evaluators) touches the files.
+    atomic temp+``os.replace`` write to a single background worker. Tasks run
+    in submission order, so the resume scan's newest-epoch rule only ever sees
+    a consistent prefix of the saved epochs; ``submit(fn)`` sequences an
+    arbitrary side effect behind every earlier write (the trainers use it to
+    append the scores.txt row only AFTER its epoch file is durable, so a crash
+    can never leave a best-epoch row pointing at a missing checkpoint).
+
+    Memory and failure are both bounded: ``save`` first blocks until all
+    earlier tasks finish — at most ONE snapshot of the full state is ever
+    pinned on host beyond the caller's — and re-raises the first prior
+    failure, so training fails fast instead of piling holes onto a dead disk.
+    ``wait()`` drains and re-raises; it runs automatically on context-manager
+    exit — call it before any same-process reader (best-epoch reload,
+    evaluators) touches the files.
 
     The reference writes synchronously on the training thread
     (reference train.py:497); the overlap is a TPU-side improvement — the
@@ -214,16 +236,29 @@ class AsyncCheckpointer:
         self._futures: list = []
 
     def save(self, path: str, state) -> None:
+        self.wait()  # bound in-flight snapshots to one; fail fast on errors
         host_state = jax.device_get(state)
-
         self._futures.append(self._pool.submit(
             lambda: _atomic_write(path, serialization.to_bytes(host_state))))
 
+    def submit(self, fn) -> None:
+        """Run ``fn()`` on the writer thread, after every earlier task."""
+        self._futures.append(self._pool.submit(fn))
+
     def wait(self) -> None:
-        """Drain pending writes; re-raise the first error (once)."""
+        """Drain pending tasks; re-raise the first error (once)."""
         futures, self._futures = self._futures, []
-        for f in futures:
-            f.result()
+        try:
+            for f in futures:
+                f.result()
+        except BaseException:
+            # surface later failures in the same drain to the log instead of
+            # swallowing them with the list
+            for g in futures:
+                if g is not f and g.exception() is not None:
+                    logging.warning("additional checkpoint-write failure: %s",
+                                    g.exception())
+            raise
 
     def close(self) -> None:
         try:

@@ -223,7 +223,9 @@ def test_measure_e2e_drives_the_production_loader(monkeypatch, tmp_path):
 
     row = bench.measure_e2e(fake_extract, batch=8, files=paths,
                             n_batches=3, num_workers=2)
-    assert seen == [8, 8, 8]
+    # one extra leading batch runs OUTSIDE the clock (worker spin-up + lazy
+    # imports are not steady-state throughput); frames counts only timed ones
+    assert seen == [8, 8, 8, 8]
     assert row["frames"] == 24 and row["batch"] == 8 and row["workers"] == 2
     assert row["fps"] > 0
 

@@ -46,11 +46,28 @@ def test_scores_and_best_epoch(tmp_path):
     assert ckpt.best_epoch(d) is None
     for e, s in [(0, 0.1), (1, 0.5), (2, 0.3)]:
         ckpt.append_score(d, e, s)
+        ckpt.save_state(ckpt.epoch_path(d, e), _state())
     assert ckpt.best_epoch(d) == (1, 0.5)
     assert ckpt.best_or_latest(d) == (1, 0.5)
     with open(os.path.join(d, "scores.txt")) as f:
         lines = f.read().splitlines()
     assert lines[0] == "0\t0.1"
+
+
+def test_best_epoch_skips_rows_with_missing_params(tmp_path):
+    """A scores.txt row whose epoch file never landed (crash between the score
+    append and the checkpoint write, or a deleted file) must not win: every
+    caller loads the params next."""
+    d = str(tmp_path)
+    for e, s in [(0, 0.1), (1, 0.9), (2, 0.3)]:
+        ckpt.append_score(d, e, s)
+        if e != 1:  # best-scoring epoch's params are missing
+            ckpt.save_state(ckpt.epoch_path(d, e), _state())
+    assert ckpt.best_epoch(d) == (2, 0.3)
+    # no surviving params at all → None → best_or_latest falls to file scan
+    os.remove(ckpt.epoch_path(d, 0))
+    os.remove(ckpt.epoch_path(d, 2))
+    assert ckpt.best_epoch(d) is None
 
 
 def test_best_or_latest_fallbacks(tmp_path):
@@ -240,6 +257,48 @@ def test_async_checkpointer_roundtrip_and_order(tmp_path):
         np.testing.assert_allclose(raw["w"], np.arange(4.0) + epoch + 1)
         np.testing.assert_allclose(raw["lr"], 1e-3 * (epoch + 1))
     assert not [f for f in os.listdir(tmp_path) if ".tmp." in f]
+
+
+def test_resume_state_reraises_environmental_read_errors(tmp_path):
+    """Only a failed PARSE proves corruption. An OSError on open/read (fd
+    limits, permissions, transient I/O) must propagate — quarantining on it
+    would rename every healthy checkpoint and silently restart from 0."""
+    d = str(tmp_path)
+    ckpt.save_state(ckpt.epoch_path(d, 0), _state())
+    os.makedirs(ckpt.epoch_path(d, 1))  # open() → IsADirectoryError (OSError)
+    zero = jax.tree_util.tree_map(jnp.zeros_like, _state())
+    with pytest.raises(OSError):
+        ckpt.resume_state(d, zero)
+    # nothing was quarantined; epoch 0 is intact
+    assert os.path.exists(ckpt.epoch_path(d, 0))
+    assert not os.path.exists(ckpt.epoch_path(d, 0) + ".corrupt")
+
+
+def test_async_checkpointer_submit_sequences_after_save(tmp_path):
+    """submit(fn) runs after every earlier write — the trainers rely on this
+    to make the scores.txt row durable only once its epoch file is."""
+    d = str(tmp_path)
+    seen = []
+    with ckpt.AsyncCheckpointer() as writer:
+        for e in range(2):
+            writer.save(ckpt.epoch_path(d, e), _state())
+            writer.submit(lambda e=e: seen.append(
+                os.path.exists(ckpt.epoch_path(d, e))))
+    assert seen == [True, True]
+
+
+def test_async_checkpointer_save_fails_fast(tmp_path):
+    """A failed write surfaces on the NEXT save, not only at close — training
+    stops promptly instead of piling epochs onto a dead disk."""
+    writer = ckpt.AsyncCheckpointer()
+    target = tmp_path / "blocked"
+    target.write_text("")  # directory path is a FILE → makedirs fails
+    writer.save(str(target / "0000.params"), {"w": jnp.zeros(2)})
+    with pytest.raises(Exception):
+        writer.save(str(tmp_path / "0001.params"), {"w": jnp.zeros(2)})
+    writer.close()
+    # the second save never enqueued: no hole-after-failure on disk
+    assert not os.path.exists(tmp_path / "0001.params")
 
 
 def test_async_checkpointer_raises_on_wait(tmp_path):
