@@ -15,24 +15,19 @@ import numpy as np
 from absl import logging
 
 
-def load_classifier(backbone: str, model_id: str, data_shape: int,
-                    root: str = "data"):
-    """Load a vision experiment's best epoch into a batched softmax scorer.
-
-    Returns ``(classes, predict_probs, info)`` where ``predict_probs`` maps a
-    uint8 image batch (B, S, S, 3) to host-side (B, num_classes) softmax and
-    ``info`` records the experiment dir / epoch / validation score used.
-    Checkpoint selection is ``best_or_latest`` (scores.txt argmax, falling
-    back to the newest ``{epoch:04d}.params``).
-    """
+def load_classifier_state(backbone: str, model_id: str, data_shape: int,
+                          root: str = "data"):
+    """Restore a vision experiment's best epoch into (classes, model, state,
+    info) — the artifact-loading half shared by the live scorer below and the
+    ahead-of-time exporter (``tennis_tpu/export.py``). Checkpoint selection is
+    ``best_or_latest`` (scores.txt argmax, falling back to the newest
+    ``{epoch:04d}.params``)."""
     import jax
     import jax.numpy as jnp
 
     from tennis_tpu.data.tennis_set import load_classes
-    from tennis_tpu.data.transforms import device_prepare
     from tennis_tpu.models import FrameModel, get_backbone
     from tennis_tpu.parallel import create_train_state, sgd_with_schedule
-    from tennis_tpu.parallel.mesh import driver_compiler_options
     from tennis_tpu.utils import checkpoint as ckpt
     from tennis_tpu.utils.experiments import experiment_dir
 
@@ -51,6 +46,25 @@ def load_classifier(backbone: str, model_id: str, data_shape: int,
     epoch, score = ckpt.best_or_latest(exp_dir)
     state = ckpt.load_state(ckpt.epoch_path(exp_dir, epoch), state)
     logging.info("loaded epoch %d (score=%s) from %s", epoch, score, exp_dir)
+    info = {"exp_dir": exp_dir, "epoch": epoch, "score": score}
+    return classes, model, state, info
+
+
+def load_classifier(backbone: str, model_id: str, data_shape: int,
+                    root: str = "data"):
+    """Load a vision experiment's best epoch into a batched softmax scorer.
+
+    Returns ``(classes, predict_probs, info)`` where ``predict_probs`` maps a
+    uint8 image batch (B, S, S, 3) to host-side (B, num_classes) softmax and
+    ``info`` records the experiment dir / epoch / validation score used.
+    """
+    import jax
+
+    from tennis_tpu.data.transforms import device_prepare
+    from tennis_tpu.parallel.mesh import driver_compiler_options
+
+    classes, model, state, info = load_classifier_state(
+        backbone, model_id, data_shape, root)
 
     @partial(jax.jit, compiler_options=driver_compiler_options(backbone))
     def eval_step(params, batch_stats, images):
@@ -63,7 +77,6 @@ def load_classifier(backbone: str, model_id: str, data_shape: int,
         return np.asarray(jax.device_get(
             eval_step(state.params, state.batch_stats, images)))
 
-    info = {"exp_dir": exp_dir, "epoch": epoch, "score": score}
     return classes, predict_probs, info
 
 
