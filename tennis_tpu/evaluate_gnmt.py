@@ -25,7 +25,11 @@ flags.DEFINE_bool("force", False, "re-decode even if best_test_out.txt exists",
                   flag_values=FLAGS)
 flags.DEFINE_string("metrics_out", "",
                     "optional path: dump the NLG metric suite as JSON "
-                    "(machine-readable surface for tennis_tpu.parity)",
+                    "(machine-readable surface for tennis_tpu.parity). "
+                    "Scale contract: the raw nlg_metric_suite values — "
+                    "Bleu_1..4/METEOR/ROUGE_L in [0,1], CIDEr on the "
+                    "pycocoevalcap scale (internal x10 applied); the parity "
+                    "gates multiply by 100 to reach the published table",
                     flag_values=FLAGS)
 
 

@@ -197,7 +197,13 @@ def meteor_lite(references: Sequence, hypotheses: Sequence, alpha: float = 0.9,
 def nlg_metric_suite(references, hypotheses):
     """The reference's reported metric dict (train_gnmt.py:379-385 layout):
     Bleu_1..4, METEOR, ROUGE_L, CIDEr. ``references``: list over samples of list of
-    token-lists (or strings); ``hypotheses``: list of token-lists (or strings)."""
+    token-lists (or strings); ``hypotheses``: list of token-lists (or strings).
+
+    Scale contract: Bleu_1..4/METEOR/ROUGE_L are fractions in [0, 1]; CIDEr is
+    on the pycocoevalcap scale (the scorer's internal x10 already applied,
+    typical range 0-10). Published-style tables (reference
+    img/tennis_cap_summary.svg: Bleu_1 46.7, CIDEr 96.4) are these values
+    x 100 — ``tennis_tpu.parity.gate_captioning`` applies that one factor."""
     refs_tok, hyps_tok = _normalize(references, hypotheses)
 
     out = {}

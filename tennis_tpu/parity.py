@@ -172,11 +172,26 @@ def gate_vision(row: str, measured: dict) -> list[dict]:
     return checks
 
 
-def gate_captioning(measured: dict) -> list[dict]:
-    """Gate the 0102 NLG suite (percent scale) against the published row."""
+def gate_captioning(measured: dict, published: dict | None = None) -> list[dict]:
+    """Gate the 0102 NLG suite against the published row.
+
+    ``measured`` is the raw ``nlg_metric_suite`` dict exactly as
+    ``evaluate_gnmt --metrics_out`` writes it: Bleu_1..4 / METEOR / ROUGE_L on
+    the 0-1 fraction scale and CIDEr on the pycocoevalcap scale (its scorer's
+    internal x10 already applied). The published table (reference
+    img/tennis_cap_summary.svg) is those same suite values x 100 — the
+    convention every COCO-style captioning table uses, CIDEr included
+    (pycocoevalcap emits ~0.6-1.2 for COCO; papers print 60-120). So ALL seven
+    metrics convert by the one factor, mirroring ``gate_vision``.
+
+    ``published`` overrides the split-02 table (seam tests gate a synthetic
+    known-parity corpus against its own suite output x 100).
+    """
+    if published is None:
+        published = PUBLISHED_0102
     checks = []
-    for k, pub in PUBLISHED_0102.items():
-        got = float(measured[k])
+    for k, pub in published.items():
+        got = float(measured[k]) * 100.0
         if k in ("Bleu_1", "Bleu_2", "Bleu_3"):
             tol, gated, ok = BLEU_TOL, True, abs(got - pub) <= BLEU_TOL
         elif k == "Bleu_4":
@@ -251,9 +266,12 @@ def _run_driver(module: str, argv: list[str], cwd: str, platform: str,
     print(f"#   {tag}: rc={proc.returncode} ({time.time() - tic:.0f}s) "
           f"log={log_path}", flush=True)
     if proc.returncode != 0:
-        with open(log_path) as f:
+        # O(1) tail — real-mode logs can be huge. Binary + errors='replace':
+        # a text-mode seek landing mid multibyte char would raise
+        # UnicodeDecodeError and mask the real driver failure.
+        with open(log_path, "rb") as f:
             f.seek(max(0, os.path.getsize(log_path) - 2000))
-            tail = f.read()  # O(1) tail — real-mode logs can be huge
+            tail = f.read().decode("utf-8", errors="replace")
         raise RuntimeError(
             f"{tag} failed (rc={proc.returncode}); tail:\n{tail}")
 

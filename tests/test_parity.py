@@ -53,25 +53,80 @@ def test_vision_gate_tolerances():
 
 
 def test_captioning_gates():
-    exact = dict(parity.PUBLISHED_0102)
+    # the gate's input is the RAW nlg_metric_suite dict (fractions /
+    # pycocoevalcap CIDEr scale); published values are that x 100
+    exact = {k: v / 100.0 for k, v in parity.PUBLISHED_0102.items()}
     checks = parity.gate_captioning(exact)
     assert all(c["pass"] for c in checks if c["gated"])
     by = {c["metric"]: c for c in checks}
     # BLEU-1..3 at ±1.0 (D2), BLEU-4 at ±1.5 (D13)
     assert by["Bleu_1"]["tol"] == 1.0 and by["Bleu_4"]["tol"] == 1.5
-    wide = dict(exact, Bleu_4=exact["Bleu_4"] - 1.4)
+    wide = dict(exact, Bleu_4=exact["Bleu_4"] - 0.014)  # -1.4 points
     assert {c["metric"]: c for c in parity.gate_captioning(wide)}["Bleu_4"]["pass"]
-    over = dict(exact, Bleu_1=exact["Bleu_1"] + 1.1)
+    over = dict(exact, Bleu_1=exact["Bleu_1"] + 0.011)  # +1.1 points
     assert not {c["metric"]: c
                 for c in parity.gate_captioning(over)}["Bleu_1"]["pass"]
     # METEOR is a one-sided floor (D1: no WordNet stage, reads low only)
-    low = dict(exact, METEOR=19.4)
+    low = dict(exact, METEOR=0.194)
     assert not {c["metric"]: c
                 for c in parity.gate_captioning(low)}["METEOR"]["pass"]
-    high = dict(exact, METEOR=25.0)
+    high = dict(exact, METEOR=0.250)
     assert {c["metric"]: c for c in parity.gate_captioning(high)}["METEOR"]["pass"]
     # ROUGE-L / CIDEr are report-only (no documented tolerance)
     assert by["ROUGE_L"]["gated"] is False and by["CIDEr"]["gated"] is False
+
+
+def test_captioning_gate_scale_regression():
+    """Round-4 bug: a real-data run at PERFECT parity (suite Bleu_1 = 0.467
+    for published 46.7) failed every gated caption metric because the gate
+    compared fractions against percents. Pin the fraction→percent conversion
+    directly against the real published table."""
+    perfect = {k: v / 100.0 for k, v in parity.PUBLISHED_0102.items()}
+    checks = parity.gate_captioning(perfect)
+    assert all(c["pass"] for c in checks if c["gated"]), checks
+    # measured values are reported on the published (percent) scale
+    by = {c["metric"]: c for c in checks}
+    assert by["Bleu_1"]["measured"] == pytest.approx(46.7)
+    assert by["CIDEr"]["measured"] == pytest.approx(96.4)
+
+
+def test_captioning_seam_producer_to_gate(tmp_path):
+    """Round-trip an ACTUAL nlg_metric_suite output through the
+    evaluate_gnmt --metrics_out writer path (json.dump of the raw suite) into
+    gate_captioning, asserting a known-parity corpus passes its gates. This is
+    the seam the round-4 scale bug lived on: hand-built percent dicts never
+    exercised the producer's scale."""
+    from tennis_tpu.metrics.nlg import nlg_metric_suite
+
+    refs = [["player serves an ace to the far side".split()],
+            ["a quick forehand winner down the line".split()],
+            ["player serves into the net".split()],
+            ["a long rally ends with a backhand error".split()]]
+    # imperfect but overlapping hypotheses — every metric lands strictly
+    # inside (0, 1) so a missing/extra x100 cannot hide
+    hyps = ["player serves an ace to the near side".split(),
+            "a quick backhand winner down the line".split(),
+            "player serves into the net".split(),
+            "a long rally ends with an error".split()]
+    suite = nlg_metric_suite(refs, hyps)
+    assert all(0.0 < v < 1.0 for k, v in suite.items() if k != "CIDEr"), suite
+
+    # the exact --metrics_out producer path (evaluate_gnmt.py writer)
+    out = tmp_path / "metrics_0102.json"
+    with open(out, "w") as f:
+        json.dump(suite, f)
+    with open(out) as f:
+        measured = json.load(f)
+
+    # known-parity: gate against this corpus's own published-scale row
+    published = {k: round(v * 100.0, 1) for k, v in suite.items()}
+    published["METEOR"] = 19.5  # the real gate's floor semantics need a floor
+    checks = parity.gate_captioning(measured, published=published)
+    gated = [c for c in checks if c["gated"]]
+    assert gated and all(c["pass"] for c in gated), checks
+    # and a percent-scale 'measured' dict (the round-4 confusion) now FAILS
+    bad = parity.gate_captioning(published, published=published)
+    assert not all(c["pass"] for c in bad if c["gated"])
 
 
 def test_published_tables_match_baseline_avg():
