@@ -31,12 +31,25 @@ def cache_dir(root: str, short: int) -> str:
     return os.path.join(root, f"frames_s{short}")
 
 
+def _source_short_side(src: str):
+    """True (undecoded) short side of ``src``, via the native header-only
+    parse; None when it cannot be determined cheaply."""
+    from tennis_tpu.native.jpeg import jpeg_dims_file
+
+    dims = jpeg_dims_file(src)
+    if dims is not None:
+        return min(dims)
+    import cv2  # no native decoder: a full decode still beats a re-encode
+
+    img = cv2.imread(src)
+    return None if img is None else min(img.shape[:2])
+
+
 def resize_encode_one(src: str, dst: str, short: int, quality: int = 95) -> bool:
     """Write ``dst`` as ``src`` resized to short side ``short``; returns whether
     a write happened. Fresh destinations (mtime >= source's) are skipped.
-    Sources already below the target short side are copied verbatim — no
-    pointless re-encode generation loss. (Exactly-at-target decodes are
-    re-encoded: they can be a DCT prescale of a larger source.)
+    Sources whose short side is already <= the target are copied verbatim — no
+    pointless re-encode generation loss.
 
     Writes land via a temp file + atomic ``os.replace``: the freshness check
     above trusts mtime, so a build killed mid-write must never leave a
@@ -54,10 +67,14 @@ def resize_encode_one(src: str, dst: str, short: int, quality: int = 95) -> bool
         # The prescaled decode's short side is >= `short` whenever a scale
         # engaged (native/jpeg.py tjp_dims contract), so a decode BELOW the
         # target proves the SOURCE is already small -> copy verbatim. AT the
-        # target is ambiguous (tiny source, or a /2^k scale landing exactly
-        # on it from a >= 2x source) -> encode the decoded pixels, never copy
-        # a possibly-full-res original into the cache.
-        if min(img.shape[:2]) < short:
+        # target is ambiguous (exactly-sized source, or a /2^k prescale of a
+        # larger one landing on it) -> disambiguate with a header-only parse
+        # of the SOURCE dims and copy verbatim only when the source itself is
+        # at the target; a possibly-full-res original must never be copied
+        # into the cache.
+        decoded_short = min(img.shape[:2])
+        if decoded_short < short or (
+                decoded_short == short and _source_short_side(src) == short):
             shutil.copyfile(src, tmp)
         else:
             if min(img.shape[:2]) > short:

@@ -10,26 +10,52 @@ import numpy as np
 
 CLASSES = ["OTH", "SFI", "SFF", "SFL", "SNI", "SNF", "SNL", "HFL", "HFR", "HNL", "HNR"]
 
-# per-video frame label runs: (start, end_exclusive, class)
+# per-video frame label runs: (start, end_exclusive, class). The TEST range
+# (frames 50-60) carries classes that also occur in TRAIN (frames 0-40:
+# SFI/SNI/HNR) so the parity --dry-run's 1-stand-in-epoch models can score
+# provably nonzero F1 there — a dry-run whose gate inputs are all 0.00 cannot
+# catch value-plumbing bugs in the harvest→gate seam (round-4 lesson).
 VIDEO_EVENTS = {
-    "V900": [(0, 20, "OTH"), (20, 26, "SFI"), (26, 40, "OTH"), (40, 46, "HFL"),
-             (46, 60, "OTH")],
+    # VAL (frames 40-50) also reuses train classes: scores.txt ranks epochs by
+    # val AVG_NB_f1, and a val split whose non-background classes never occur
+    # in train scores 0.0 at every epoch — best-epoch selection then ties to
+    # the rawest checkpoint and the dry-run evaluations stay at 0.00 forever.
+    "V900": [(0, 20, "OTH"), (20, 26, "SFI"), (26, 40, "OTH"), (40, 46, "SFI"),
+             (46, 52, "OTH"), (52, 58, "SFI"), (58, 60, "OTH")],
     "V901": [(0, 10, "OTH"), (10, 16, "SNI"), (16, 30, "OTH"), (30, 36, "HNR"),
-             (36, 50, "OTH")],
+             (36, 44, "OTH"), (44, 56, "HNR"), (56, 60, "OTH")],
+}
+
+# Frame pixels are class-coded (a per-class base colour + noise, see
+# build_fixture) so the mapping is learnable by a tiny model in a couple of
+# epochs — the fixture exists to exercise machinery, and machinery that only
+# ever sees 0.0-valued metrics is unexercised at its seams.
+CLASS_RGB = {
+    "OTH": (40, 40, 40),   "SFI": (220, 60, 60),  "SFF": (60, 220, 60),
+    "SFL": (60, 60, 220),  "SNI": (220, 220, 60), "SNF": (220, 60, 220),
+    "SNL": (60, 220, 220), "HFL": (160, 100, 40), "HFR": (100, 40, 160),
+    "HNL": (40, 160, 100), "HNR": (230, 150, 150),
 }
 
 POINTS = [
     # id, video, start, end, extra-field, caption
-    # train-split points (start frame < 40)
+    # train-split points (start frame < 40). Captions are stereotyped with
+    # heavy token overlap so the dry-run's tiny GNMT stand-in can reach
+    # nonzero test BLEU by memorising the formulae.
     ("p001", "V900", 18, 30, "x", "player serves an ace to the far side"),
     ("p002", "V900", 38, 48, "x", "a quick forehand winner down the line"),
     ("p003", "V901", 8, 18, "x", "player serves into the net"),
     ("p004", "V901", 28, 38, "x", "a long rally ends with a backhand error"),
+    ("p010", "V900", 20, 28, "x", "player serves into the net"),
+    ("p011", "V900", 2, 12, "x", "player serves an ace down the line"),
+    ("p012", "V901", 20, 30, "x", "player serves into the net"),
+    ("p013", "V901", 0, 8, "x", "player serves an ace to the far side"),
     # val-split points (start frame in [40, 50))
     ("p005", "V900", 42, 50, "x", "player serves an ace down the line"),
     ("p006", "V901", 44, 50, "x", "a forehand winner to the far side"),
-    # test-split points (start frame in [50, 60); V901 only has 50 frames)
+    # test-split points (start frame in [50, 60))
     ("p007", "V900", 52, 58, "x", "player serves into the net again"),
+    ("p008", "V901", 50, 56, "x", "player serves an ace to the far side"),
 ]
 
 
@@ -55,7 +81,9 @@ def build_fixture(root, img_hw=(24, 32), with_flow: bool = False) -> str:
     for video, events in VIDEO_EVENTS.items():
         n_frames = events[-1][1]
         for frame in range(n_frames):
-            img = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+            base = np.array(CLASS_RGB[frame_label(video, frame)], np.float32)
+            noise = rng.normal(0.0, 28.0, size=(h, w, 3))
+            img = np.clip(base + noise, 0, 255).astype(np.uint8)
             dirs = ("frames", "flow") if with_flow else ("frames",)
             for d in dirs:
                 chunk = frame // 1000 * 1000

@@ -81,6 +81,34 @@ def decode_jpeg(data: bytes, min_short: int | None = None):
     return out
 
 
+def jpeg_dims(data: bytes):
+    """Header-only (height, width) of an in-memory JPEG — no pixel decode
+    (tjp_dims with min_short=0 reports the full-size output dims). None when
+    the native library is unavailable or the buffer is not a JPEG."""
+    lib = _load()
+    if lib is None or len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    buf = (ctypes.c_ubyte * len(data)).from_buffer_copy(data)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    scale = ctypes.c_int()
+    if lib.tjp_dims(buf, len(data), 0, ctypes.byref(h), ctypes.byref(w),
+                    ctypes.byref(scale)):
+        return None
+    return (h.value, w.value)
+
+
+def jpeg_dims_file(path: str):
+    if not path.lower().endswith((".jpg", ".jpeg")):
+        return None
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except OSError:
+        return None
+    return jpeg_dims(data)
+
+
 def decode_jpeg_file(path: str, min_short: int | None = None):
     if not path.lower().endswith((".jpg", ".jpeg")):
         return None

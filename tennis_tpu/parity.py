@@ -30,10 +30,13 @@ row then runs the SAME driver CLI the reference documents, in a subprocess
 ``--dry-run`` exercises the complete harness machinery with zero real media:
 it synthesizes the miniature fixture (tennis_tpu.data.synthetic), trains
 tiny stand-ins for every required experiment through the production drivers,
-runs every row's evaluation, and evaluates the gates. Gate outcomes on random
-pixels are meaningless, so dry-run exit status reflects only that every row
-executed end-to-end; the table is still printed so the full code path —
-including the tolerance arithmetic — runs.
+runs every row's evaluation, and evaluates the gates. Gate outcomes against
+the PUBLISHED table are meaningless on synthetic data, so those do not affect
+the exit status — but the fixture is deliberately learnable (class-coded
+frames, stereotyped captions), and the dry-run FAILS unless at least one gated
+vision metric and one gated caption metric come back nonzero: all-zero gate
+inputs leave the harvest→gate seam unexercised (the round-4 scale bug hid
+exactly there).
 """
 from __future__ import annotations
 
@@ -109,7 +112,7 @@ DRY_EVAL_FLAGS = {
     "0042": _DRY_VISION + ["--temp_pool", "gru", "--window", "4",
                            "--backbone_from_id", "0006",
                            "--feats_model", "0006", "--freeze_backbone"],
-    "0102": ["--num_hidden", "16", "--emb_size", "8", "--num_buckets", "2",
+    "0102": ["--num_hidden", "64", "--emb_size", "32", "--num_buckets", "2",
              "--tgt_max_len", "10", "--test_batch_size", "4", "--emb_file=",
              "--feats_model", "0006", "--force"],
 }
@@ -119,8 +122,14 @@ DRY_EVAL_FLAGS = {
 # train.py:266-284), then the feature-consuming rows train on them. 0028 is
 # evaluation-only (the temp-pool wrap of the 0006 donor, reference
 # evaluate.py:224-244).
+#
+# The 0006 and 0102 stand-ins get real (still tiny) training budgets: the
+# fixture's frames are class-coded and its captions stereotyped
+# (data/synthetic.py), so a few epochs reach provably NONZERO gated metrics —
+# which the dry-run verdict requires (a harness whose gate inputs are all 0.00
+# cannot catch scale/plumbing bugs at the harvest→gate seam).
 DRY_TRAIN_STEPS = [
-    ("train", "0006", _DRY_VISION + ["--epochs", "1", "--log_interval", "10"]),
+    ("train", "0006", _DRY_VISION + ["--epochs", "8", "--log_interval", "10"]),
     ("train", "0006", _DRY_VISION + ["--save_feats"]),
     ("train", "0010", _DRY_VISION + ["--flow", "twos", "--epochs", "1",
                                      "--max_batches", "2",
@@ -134,11 +143,16 @@ DRY_TRAIN_STEPS = [
                                      "gru", "--window", "4", "--epochs", "1",
                                      "--max_batches", "3",
                                      "--log_interval", "5"]),
-    ("train_gnmt", "0102", ["--feats_model", "0006", "--epochs", "1",
+    # 40 epochs x 2 steps memorise the fixture's 8 stereotyped train captions
+    # (dropout off — this is deliberate overfitting); val BLEU4 then turns
+    # positive, so valid_best picks a TRAINED epoch instead of tieing at 0.00
+    # on epoch 0 and test BLEU comes back provably nonzero.
+    ("train_gnmt", "0102", ["--feats_model", "0006", "--epochs", "40",
                             "--batch_size", "4", "--test_batch_size", "4",
-                            "--num_hidden", "16", "--emb_size", "8",
-                            "--num_buckets", "2", "--tgt_max_len", "10",
-                            "--emb_file=", "--log_interval", "10"]),
+                            "--num_hidden", "64", "--emb_size", "32",
+                            "--dropout", "0", "--num_buckets", "2",
+                            "--tgt_max_len", "10", "--emb_file=",
+                            "--log_interval", "10"]),
 ]
 
 
@@ -418,11 +432,29 @@ def main(argv=None) -> int:
         report.append(entry)
 
     _print_table([r for r in report if r["ok"]])
+
+    # Value-plumbing check: the dry-run must push NONZERO values through the
+    # harvest→gate seam (the round-4 scale bug survived precisely because
+    # every dry-run gate input was 0.00). The fixture is built learnable
+    # (class-coded frames, stereotyped captions) so the stand-ins provably
+    # clear zero; all-zero measured values mean a plumbing regression.
+    def _nonzero(pred):
+        return any(c["measured"] != 0 for r in report
+                   if r["ok"] and pred(r["row"]) for c in r["checks"]
+                   if c["gated"])
+
+    vision_rows_ran = any(r["ok"] and r["row"] != "0102" for r in report)
+    caption_rows_ran = any(r["ok"] and r["row"] == "0102" for r in report)
+    values_carried = ((not vision_rows_ran or _nonzero(lambda r: r != "0102"))
+                      and (not caption_rows_ran or _nonzero(
+                          lambda r: r == "0102")))
+
     result = {
         "mode": "dry-run" if args.dry_run else "real",
         "rows": report,
         "all_rows_ran": all_ran,
         "all_gates_pass": all_gates_pass if all_ran else False,
+        "nonzero_measured_values": values_carried,
         "wall_s": round(time.time() - tic, 1),
     }
     out_path = os.path.join(workdir, args.out)
@@ -430,10 +462,12 @@ def main(argv=None) -> int:
         json.dump(result, f, indent=1)
     print(f"\n# report: {out_path}")
     if args.dry_run:
-        print(f"# dry-run {'OK' if all_ran else 'FAILED'}: "
-              f"{sum(r['ok'] for r in report)}/{len(report)} rows executed "
+        ok = all_ran and values_carried
+        print(f"# dry-run {'OK' if ok else 'FAILED'}: "
+              f"{sum(r['ok'] for r in report)}/{len(report)} rows executed, "
+              f"nonzero gated values: {values_carried} "
               "(gate outcomes on synthetic pixels are reported only)")
-        return 0 if all_ran else 1
+        return 0 if ok else 1
     verdict = "PASS" if (all_ran and all_gates_pass) else "FAIL"
     print(f"# parity verdict: {verdict}")
     return 0 if verdict == "PASS" else 1

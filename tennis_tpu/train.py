@@ -391,65 +391,65 @@ def train_and_evaluate():
     # epoch checkpoints stream to disk from a background writer; the snapshot
     # (device_get) stays synchronous so the next donated step can't invalidate
     # the buffers mid-save
-    ckpt_writer = ckpt.AsyncCheckpointer()
-    for epoch in range(start_epoch, FLAGS.epochs):
-        loaders["train"].set_epoch(epoch)
-        tic = time.time()
-        n_samples, n_batches = 0, 0
-        train_metrics = _metric_set(train_set.classes)
-        for images, labels, _ in prefetch_to_device(iter(loaders["train"]),
-                                                    bsharding):
-            if profile_left > 0 and n_batches == 1:  # skip the compile step
-                with jax.profiler.trace(os.path.join(exp_dir, "tb", "profile")):
-                    for _ in range(profile_left):
-                        state, loss, logits = train_step(state, images, labels)
-                    jax.device_get(loss)
-                profile_left = 0
-                logging.info("profiler trace written to %s/tb/profile", exp_dir)
-            state, loss, logits = train_step(state, images, labels)
-            n_batches += 1
-            n_samples += labels.shape[0]
-            if n_batches % FLAGS.log_interval == 0 or n_batches == 1:
-                loss_v = float(loss)
-                train_metrics["prf1"].update(*fetch_global((labels, logits)))
-                rate = n_samples / max(time.time() - tic, 1e-6)
-                logging.info(
-                    "[Epoch %d][Batch %d] loss=%.4f %.1f samples/sec",
-                    epoch, n_batches, loss_v, rate,
-                )
-                if tb:
-                    step_i = int(state.step)
-                    tb.add_scalar("train/loss", loss_v, step_i)
-                    tb.add_scalar("train/samples_per_sec", rate, step_i)
-            if 0 < FLAGS.max_batches <= n_batches:
-                break
+    # context manager: pending writes drain and the worker shuts down on
+    # ALL exits, including a mid-loop exception (no leaked writer thread)
+    with ckpt.AsyncCheckpointer() as ckpt_writer:
+        for epoch in range(start_epoch, FLAGS.epochs):
+            loaders["train"].set_epoch(epoch)
+            tic = time.time()
+            n_samples, n_batches = 0, 0
+            train_metrics = _metric_set(train_set.classes)
+            for images, labels, _ in prefetch_to_device(iter(loaders["train"]),
+                                                        bsharding):
+                if profile_left > 0 and n_batches == 1:  # skip the compile step
+                    with jax.profiler.trace(os.path.join(exp_dir, "tb", "profile")):
+                        for _ in range(profile_left):
+                            state, loss, logits = train_step(state, images, labels)
+                        jax.device_get(loss)
+                    profile_left = 0
+                    logging.info("profiler trace written to %s/tb/profile", exp_dir)
+                state, loss, logits = train_step(state, images, labels)
+                n_batches += 1
+                n_samples += labels.shape[0]
+                if n_batches % FLAGS.log_interval == 0 or n_batches == 1:
+                    loss_v = float(loss)
+                    train_metrics["prf1"].update(*fetch_global((labels, logits)))
+                    rate = n_samples / max(time.time() - tic, 1e-6)
+                    logging.info(
+                        "[Epoch %d][Batch %d] loss=%.4f %.1f samples/sec",
+                        epoch, n_batches, loss_v, rate,
+                    )
+                    if tb:
+                        step_i = int(state.step)
+                        tb.add_scalar("train/loss", loss_v, step_i)
+                        tb.add_scalar("train/samples_per_sec", rate, step_i)
+                if 0 < FLAGS.max_batches <= n_batches:
+                    break
 
-        train_f1 = train_metrics["prf1"].get_dict()["AVG_NB_f1"]
-        if tb:
-            tb.add_scalar("train/AVG_NB_f1", train_f1, epoch)
-        logging.info("[Epoch %d] train AVG_NB_f1=%.4f (sampled at log intervals)",
-                     epoch, train_f1)
+            train_f1 = train_metrics["prf1"].get_dict()["AVG_NB_f1"]
+            if tb:
+                tb.add_scalar("train/AVG_NB_f1", train_f1, epoch)
+            logging.info("[Epoch %d] train AVG_NB_f1=%.4f (sampled at log intervals)",
+                         epoch, train_f1)
 
-        val_metrics = run_eval("val")
-        scores = val_metrics["prf1"].get_dict()
-        score = scores["AVG_NB_f1"]
-        accs = {
-            name: m.get()[1]
-            for name, m in val_metrics.items() if name != "prf1"
-        }
-        logging.info("[Epoch %d] val AVG_NB_f1=%.4f %s (%.1fs)", epoch, score,
-                     {k: round(v, 4) for k, v in accs.items()},
-                     time.time() - tic)
-        if tb:
-            tb.add_scalar("val/AVG_NB_f1", score, epoch)
-        ckpt_writer.save(ckpt.epoch_path(exp_dir, epoch), state)
-        # the scores.txt row becomes durable only AFTER its epoch file does —
-        # a crash in between can hide an epoch but never dangle a best-epoch row
-        ckpt_writer.submit(
-            lambda e=epoch, s=score: ckpt.append_score(exp_dir, e, s))
+            val_metrics = run_eval("val")
+            scores = val_metrics["prf1"].get_dict()
+            score = scores["AVG_NB_f1"]
+            accs = {
+                name: m.get()[1]
+                for name, m in val_metrics.items() if name != "prf1"
+            }
+            logging.info("[Epoch %d] val AVG_NB_f1=%.4f %s (%.1fs)", epoch, score,
+                         {k: round(v, 4) for k, v in accs.items()},
+                         time.time() - tic)
+            if tb:
+                tb.add_scalar("val/AVG_NB_f1", score, epoch)
+            ckpt_writer.save(ckpt.epoch_path(exp_dir, epoch), state)
+            # the scores.txt row becomes durable only AFTER its epoch file does —
+            # a crash in between can hide an epoch but never dangle a best-epoch row
+            ckpt_writer.submit(
+                lambda e=epoch, s=score: ckpt.append_score(exp_dir, e, s))
 
-    # drain pending checkpoint writes before any reader touches the files
-    ckpt_writer.close()
 
     # final test with the best epoch
     best = ckpt.best_epoch(exp_dir)

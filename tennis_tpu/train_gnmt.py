@@ -396,98 +396,99 @@ def train(argv=None):
     seed_rng = np.random.default_rng(FLAGS.seed + 1)
     # epoch + valid_best checkpoints stream from a background writer (snapshot
     # stays synchronous; writes land in submission order)
-    ckpt_writer = ckpt.AsyncCheckpointer()
-    for epoch in range(start_epoch, FLAGS.epochs):
-        loaders["train"].set_epoch(epoch)
-        tic = time.time()
-        n_tokens, n_batches = 0, 0
-        # host batches transfer on a background thread while the previous step
-        # computes (the raw step runs at ~413K words/sec at B=128 T=120 — the
-        # loop must not stall it on PCIe). Token counts are taken on host
-        # BEFORE transfer: summing a device array here would be an eager per-op
-        # round trip (see CLAUDE.md on the tunneled TPU).
-        def counted_batches():
-            for batch in iter(loaders["train"]):
-                yield batch, int(np.asarray(batch[3]).sum())
+    # context manager: pending writes drain and the worker shuts down on
+    # ALL exits (incl. a mid-loop exception) — same-process readers
+    # (evaluate_gnmt chains) then always see durable files
+    with ckpt.AsyncCheckpointer() as ckpt_writer:
+        for epoch in range(start_epoch, FLAGS.epochs):
+            loaders["train"].set_epoch(epoch)
+            tic = time.time()
+            n_tokens, n_batches = 0, 0
+            # host batches transfer on a background thread while the previous step
+            # computes (the raw step runs at ~413K words/sec at B=128 T=120 — the
+            # loop must not stall it on PCIe). Token counts are taken on host
+            # BEFORE transfer: summing a device array here would be an eager per-op
+            # round trip (see CLAUDE.md on the tunneled TPU).
+            def counted_batches():
+                for batch in iter(loaders["train"]):
+                    yield batch, int(np.asarray(batch[3]).sum())
 
-        train_sharding = None
-        if mesh is not None:
-            from tennis_tpu.parallel import batch_sharding
+            train_sharding = None
+            if mesh is not None:
+                from tennis_tpu.parallel import batch_sharding
 
-            train_sharding = batch_sharding(mesh)
-        for batch, batch_tokens in prefetch_to_device(counted_batches(),
-                                                      train_sharding):
-            src, tgt, src_vl, tgt_vl = batch[:4]
-            params, batch_stats, opt_state, loss = train_step(
-                params, batch_stats, opt_state, src, tgt, src_vl, tgt_vl,
-                np.uint32(seed_rng.integers(2**31)),
-            )
-            n_batches += 1
-            n_tokens += batch_tokens
-            if n_batches % FLAGS.log_interval == 0 or n_batches == 1:
-                loss_v = float(loss)
-                wps = n_tokens / max(time.time() - tic, 1e-6)
-                logging.info("[Epoch %d][Batch %d] loss=%.4f ppl=%.2f %.1fK wps",
-                             epoch, n_batches, loss_v, np.exp(min(loss_v, 20)),
-                             wps / 1000)
-                if tb:
-                    tb.add_scalar("train/loss", loss_v, epoch * 10000 + n_batches)
-            if 0 < FLAGS.max_batches <= n_batches:
-                break
+                train_sharding = batch_sharding(mesh)
+            for batch, batch_tokens in prefetch_to_device(counted_batches(),
+                                                          train_sharding):
+                src, tgt, src_vl, tgt_vl = batch[:4]
+                params, batch_stats, opt_state, loss = train_step(
+                    params, batch_stats, opt_state, src, tgt, src_vl, tgt_vl,
+                    np.uint32(seed_rng.integers(2**31)),
+                )
+                n_batches += 1
+                n_tokens += batch_tokens
+                if n_batches % FLAGS.log_interval == 0 or n_batches == 1:
+                    loss_v = float(loss)
+                    wps = n_tokens / max(time.time() - tic, 1e-6)
+                    logging.info("[Epoch %d][Batch %d] loss=%.4f ppl=%.2f %.1fK wps",
+                                 epoch, n_batches, loss_v, np.exp(min(loss_v, 20)),
+                                 wps / 1000)
+                    if tb:
+                        tb.add_scalar("train/loss", loss_v, epoch * 10000 + n_batches)
+                if 0 < FLAGS.max_batches <= n_batches:
+                    break
 
-        val_loss, val_suite, val_hyps = evaluate("val", val_tgt)
-        test_loss, test_suite, test_hyps = evaluate("test", test_tgt)
-        bleu4 = val_suite["Bleu_4"] * 100
-        logging.info("[Epoch %d] val loss=%.4f BLEU4=%.2f suite=%s (%.1fs)",
-                     epoch, val_loss, bleu4,
-                     {k: round(v, 4) for k, v in val_suite.items()},
-                     time.time() - tic)
-        if tb:
-            for k, v in val_suite.items():
-                tb.add_scalar(f"val/{k}", v, epoch)
-            for k, v in test_suite.items():
-                tb.add_scalar(f"test/{k}", v, epoch)
-            # GT-vs-pred text panels + target-embedding projector dump
-            # (reference train_gnmt.py:364-370,398-400)
-            from tennis_tpu.utils.captioning import get_comp_str
+            val_loss, val_suite, val_hyps = evaluate("val", val_tgt)
+            test_loss, test_suite, test_hyps = evaluate("test", test_tgt)
+            bleu4 = val_suite["Bleu_4"] * 100
+            logging.info("[Epoch %d] val loss=%.4f BLEU4=%.2f suite=%s (%.1fs)",
+                         epoch, val_loss, bleu4,
+                         {k: round(v, 4) for k, v in val_suite.items()},
+                         time.time() - tic)
+            if tb:
+                for k, v in val_suite.items():
+                    tb.add_scalar(f"val/{k}", v, epoch)
+                for k, v in test_suite.items():
+                    tb.add_scalar(f"test/{k}", v, epoch)
+                # GT-vs-pred text panels + target-embedding projector dump
+                # (reference train_gnmt.py:364-370,398-400)
+                from tennis_tpu.utils.captioning import get_comp_str
 
-            tb.add_text("val/captions",
-                        get_comp_str(val_tgt[:8], val_hyps[:8]), epoch)
-            try:
-                emb = np.asarray(params["tgt_embed"]["embedding"])
-                tb.add_embedding(emb, metadata=vocab.idx_to_token,
-                                 tag="tgt_embed", global_step=epoch)
-            except Exception:  # projector support is best-effort
-                pass
+                tb.add_text("val/captions",
+                            get_comp_str(val_tgt[:8], val_hyps[:8]), epoch)
+                try:
+                    emb = np.asarray(params["tgt_embed"]["embedding"])
+                    tb.add_embedding(emb, metadata=vocab.idx_to_token,
+                                     tag="tgt_embed", global_step=epoch)
+                except Exception:  # projector support is best-effort
+                    pass
 
-        _write_sentences(val_hyps, os.path.join(exp_dir, f"epoch{epoch}_val_out.txt"))
-        _write_sentences(test_hyps,
-                         os.path.join(exp_dir, f"epoch{epoch}_test_out.txt"))
-        # LR decay ×factor each epoch in the last third (reference
-        # train_gnmt.py:456-459). Applied BEFORE this epoch's checkpoint so the
-        # saved hyperparam is exactly the LR the next epoch trains with — a
-        # resume then restores the decay chain losslessly (it sits between
-        # epochs either way, so continuous-run behavior is unchanged).
-        if epoch + 1 >= (FLAGS.epochs * 2) // 3:
-            lr *= FLAGS.lr_update_factor
-            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
-            logging.info("lr decayed to %g", lr)
-        ckpt_writer.save(ckpt.epoch_path(exp_dir, epoch),
-                         {"params": params, "batch_stats": batch_stats,
-                          "opt_state": opt_state})
-        # scores.txt row lands only after its epoch file is durable
-        ckpt_writer.submit(
-            lambda e=epoch, s=bleu4: ckpt.append_score(exp_dir, e, s))
-        if bleu4 > best_bleu:
-            best_bleu = bleu4
-            # no optimizer state: the evaluator restores params + stats only
-            ckpt_writer.save(os.path.join(exp_dir, "valid_best.params"),
-                             {"params": params, "batch_stats": batch_stats})
-            _write_sentences(test_hyps, os.path.join(exp_dir, "best_test_out.txt"))
-            logging.info("new best BLEU4 %.2f at epoch %d", bleu4, epoch)
+            _write_sentences(val_hyps, os.path.join(exp_dir, f"epoch{epoch}_val_out.txt"))
+            _write_sentences(test_hyps,
+                             os.path.join(exp_dir, f"epoch{epoch}_test_out.txt"))
+            # LR decay ×factor each epoch in the last third (reference
+            # train_gnmt.py:456-459). Applied BEFORE this epoch's checkpoint so the
+            # saved hyperparam is exactly the LR the next epoch trains with — a
+            # resume then restores the decay chain losslessly (it sits between
+            # epochs either way, so continuous-run behavior is unchanged).
+            if epoch + 1 >= (FLAGS.epochs * 2) // 3:
+                lr *= FLAGS.lr_update_factor
+                opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+                logging.info("lr decayed to %g", lr)
+            ckpt_writer.save(ckpt.epoch_path(exp_dir, epoch),
+                             {"params": params, "batch_stats": batch_stats,
+                              "opt_state": opt_state})
+            # scores.txt row lands only after its epoch file is durable
+            ckpt_writer.submit(
+                lambda e=epoch, s=bleu4: ckpt.append_score(exp_dir, e, s))
+            if bleu4 > best_bleu:
+                best_bleu = bleu4
+                # no optimizer state: the evaluator restores params + stats only
+                ckpt_writer.save(os.path.join(exp_dir, "valid_best.params"),
+                                 {"params": params, "batch_stats": batch_stats})
+                _write_sentences(test_hyps, os.path.join(exp_dir, "best_test_out.txt"))
+                logging.info("new best BLEU4 %.2f at epoch %d", bleu4, epoch)
 
-    # drain pending writes before same-process readers (evaluate_gnmt chains)
-    ckpt_writer.close()
     return params
 
 

@@ -269,8 +269,17 @@ class AsyncCheckpointer:
     def __enter__(self):
         return self
 
-    def __exit__(self, *exc):
-        self.close()
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            self.close()
+            return False
+        # exceptional unwind: still drain + shut the pool down (no leaked
+        # writer thread per in-process invocation), but never let a
+        # writer-thread failure MASK the exception already in flight
+        try:
+            self.close()
+        except BaseException as e:
+            logging.warning("checkpoint writer failed during unwind: %s", e)
         return False
 
 

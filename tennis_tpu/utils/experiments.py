@@ -21,29 +21,38 @@ def experiment_dir(kind: str, model_id: str, base: str = ".") -> str:
     return d
 
 
+# FileHandlers THIS module installed, so re-invocation cleanup never touches
+# handlers owned by user code or the embedding application
+_own_file_handlers: list[logging.FileHandler] = []
+
+
 def setup_logging(exp_dir: str, flags_dict: dict | None = None):
     logger = logging.getLogger()
     logger.setLevel(logging.INFO)
     # in-process re-invocation hygiene (examples/full_pipeline.py chains
     # drivers): absl's --verbosity flag re-parse resets the 'absl' logger to
     # WARNING (verbosity -1), silently dropping every INFO line of the second
-    # run — pin it back to INFO; and drop the previous run's FileHandler so
-    # lines stop duplicating into stale experiment logs
+    # run — raise it back to INFO, but only when it sits BELOW info so an
+    # explicit --verbosity=1 (debug) request survives; and drop only the
+    # FileHandlers this function itself installed, so lines stop duplicating
+    # into stale experiment logs without clobbering foreign handlers
     try:
         from absl import logging as absl_logging
 
-        absl_logging.set_verbosity(absl_logging.INFO)
+        if absl_logging.get_verbosity() < absl_logging.INFO:
+            absl_logging.set_verbosity(absl_logging.INFO)
     except ImportError:  # pragma: no cover
         pass
-    for h in list(logger.handlers):
-        if isinstance(h, logging.FileHandler):
-            logger.removeHandler(h)
-            h.close()
+    for h in _own_file_handlers:
+        logger.removeHandler(h)
+        h.close()
+    _own_file_handlers.clear()
     if not any(isinstance(h, logging.StreamHandler) for h in logger.handlers):
         logger.addHandler(logging.StreamHandler())
     fh = logging.FileHandler(os.path.join(exp_dir, "log.txt"))
     fh.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
     logger.addHandler(fh)
+    _own_file_handlers.append(fh)
     if flags_dict:
         logging.info(
             "flags:\n%s",

@@ -221,10 +221,11 @@ def _make_feature_store(root, name, dim=32):
     """Tiny .npy feature store covering every on-disk fixture frame."""
     from tennis_tpu.data.tennis_set import get_feature_path
 
+    from fixtures import VIDEO_EVENTS
+
     rng = np.random.default_rng(0)
-    for video in ("V900", "V901"):
-        n = 60 if video == "V900" else 50
-        for frame in range(n):
+    for video, events in VIDEO_EVENTS.items():
+        for frame in range(events[-1][1]):
             path = get_feature_path(os.path.join(root, "features", name),
                                     video, frame)
             os.makedirs(os.path.dirname(path), exist_ok=True)

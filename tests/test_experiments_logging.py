@@ -35,3 +35,37 @@ def test_second_invocation_keeps_absl_info_and_does_not_leak(tmp_path):
     assert "first-run line" in log1
     assert "second-run line" in log2, "absl INFO dropped after flag re-parse"
     assert "second-run line" not in log1, "stale FileHandler leaked across runs"
+
+
+def test_explicit_debug_verbosity_survives(tmp_path):
+    """A user-requested --verbosity=1 (debug) must not be clobbered back to
+    INFO: setup_logging only RAISES verbosity that fell below INFO."""
+    os.makedirs(tmp_path / "e")
+    prev = absl_logging.get_verbosity()
+    try:
+        absl_logging.set_verbosity(absl_logging.DEBUG)
+        setup_logging(str(tmp_path / "e"))
+        assert absl_logging.get_verbosity() == absl_logging.DEBUG
+    finally:
+        absl_logging.set_verbosity(prev)
+
+
+def test_foreign_file_handler_untouched(tmp_path):
+    """Only FileHandlers setup_logging itself installed are removed on
+    re-invocation; a handler owned by the embedding application survives."""
+    os.makedirs(tmp_path / "e1")
+    os.makedirs(tmp_path / "e2")
+    foreign_path = str(tmp_path / "app.log")
+    foreign = logging.FileHandler(foreign_path)
+    root = logging.getLogger()
+    root.addHandler(foreign)
+    try:
+        setup_logging(str(tmp_path / "e1"))
+        setup_logging(str(tmp_path / "e2"))
+        assert foreign in root.handlers, "foreign FileHandler was removed"
+        logging.getLogger().info("kept line")
+        foreign.flush()
+        assert "kept line" in open(foreign_path).read()
+    finally:
+        root.removeHandler(foreign)
+        foreign.close()

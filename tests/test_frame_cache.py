@@ -80,6 +80,16 @@ def test_small_sources_copied_verbatim(root, tmp_path):
     assert open(src, "rb").read() == open(dst, "rb").read()
 
 
+def test_source_exactly_at_target_copied_verbatim(root):
+    """A source whose TRUE short side equals the target is a byte-copy, not a
+    q95 re-encode (no generation loss): the at-target prescale ambiguity is
+    resolved by the header-only source dims, not by re-encoding everything."""
+    build_frame_cache(root, 128, workers=2)  # fixture frames are 128-short
+    src = get_image_path(os.path.join(root, "frames"), "V900", 2)
+    dst = get_image_path(cache_dir(root, 128), "V900", 2)
+    assert open(src, "rb").read() == open(dst, "rb").read()
+
+
 def test_prescale_landing_exactly_on_target_still_resizes(root):
     """A 2x-oversized source whose DCT prescale lands EXACTLY on the target
     (128-short fixture at --short 64: the native decoder's 4/8 scale returns
