@@ -127,11 +127,12 @@ def test_evaluate_vision_driver(env):
 
     from tennis_tpu import evaluate as evaluate_driver
 
+    metrics_out = os.path.join(workdir, "metrics_t1.json")
     flags.FLAGS.unparse_flags()
     argv = [
         "evaluate.py", f"--root={root}", "--model_id=t1",
         "--backbone=resnet18_v2", "--data_shape=32", "--batch_size=8",
-        "--num_workers=2", "--vis",
+        "--num_workers=2", "--vis", f"--metrics_out={metrics_out}",
     ]
     results = {}
     def run(_argv):
@@ -146,6 +147,22 @@ def test_evaluate_vision_driver(env):
     assert probs.shape == (11,) and abs(float(probs.sum()) - 1.0) < 1e-3
     exp = os.path.join(workdir, "models", "vision", "experiments", "t1")
     assert os.path.exists(os.path.join(exp, "results.mp4"))
+
+    # --metrics_out schema+scale contract (the load-bearing surface between
+    # the drivers and tennis_tpu.parity): full PRF1 name set, FRACTIONS in
+    # [0, 1] — gate_vision multiplies by 100, so a percent-scale writer here
+    # would silently destroy every parity verdict
+    import json
+
+    from fixtures import CLASSES
+
+    dumped = json.load(open(metrics_out))
+    expect = {f"{c}_{s}" for c in CLASSES for s in ("prec", "rec", "f1")}
+    expect |= {f"AVG_{s}" for s in ("prec", "rec", "f1")}
+    expect |= {f"AVG_NB_{s}" for s in ("prec", "rec", "f1")}
+    assert set(dumped) == expect
+    assert all(0.0 <= v <= 1.0 for v in dumped.values()), dumped
+    assert dumped == results["m"]["prf1"].get_dict()
 
     # --split val evaluates the validation split with test-time settings
     # (reference evaluate.py:40-41,107)
@@ -250,13 +267,27 @@ def test_train_gnmt_cycle(env):
 
     from tennis_tpu.evaluate_gnmt import main as eval_main
 
+    metrics_out = os.path.join(workdir, "metrics_g1.json")
     suite = eval_main([
         "evaluate_gnmt.py", f"--root={root}", "--model_id=g1", "--feats_model=tf",
         "--num_hidden=16", "--emb_size=8", "--num_buckets=2", "--tgt_max_len=10",
-        "--test_batch_size=4", "--emb_file=",
+        "--test_batch_size=4", "--emb_file=", f"--metrics_out={metrics_out}",
     ])
     assert set(suite) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR",
                           "ROUGE_L", "CIDEr"}
+
+    # --metrics_out schema+scale contract: the RAW nlg_metric_suite dict —
+    # Bleu/METEOR/ROUGE_L fractions in [0, 1], CIDEr on the pycocoevalcap
+    # scale (0-10). gate_captioning multiplies by 100 (PARITY round-4 bug:
+    # a percent-scale writer here fails a perfect-parity real-data run).
+    import json
+
+    dumped = json.load(open(metrics_out))
+    assert set(dumped) == set(suite)
+    for k, v in dumped.items():
+        hi = 10.0 if k == "CIDEr" else 1.0
+        assert 0.0 <= v <= hi, (k, v)
+    assert dumped == pytest.approx(suite)
 
     # --num_devices 4: the sharded beam decode (ragged tails padded over the
     # virtual mesh) must reproduce the single-device predictions exactly
