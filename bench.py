@@ -30,17 +30,20 @@ PROVISIONAL row (value 0.0 + explanatory error) flushes before the extraction
 lead-in — host-side tracing/lowering the persistent cache cannot cover,
 observed at 844 s on a 1-core box — then the headline extraction JSON line is
 printed (and flushed) IMMEDIATELY after the extraction phase; richer
-superseding lines follow in order of importance: the END-TO-END pipeline row
-lands next (production DataLoader decoding real JPEGs into the same compiled
-extraction program — reuses extract_n at n=1, so ~35 s and no extra compile;
-closes the seam between the device-only ceiling and the host-only --loader
-probe; ESSENTIAL, never deadline-skipped), then the train samples/sec row
-(the ~230 s train compile is the long pole, and it goes ahead of BOTH
+superseding lines follow in order of importance: the STATIC-UNROLL refine
+first (cheap, improves the headline ~3.5%; round 4 lost it to the deadline
+by running it last), then the END-TO-END pipeline row (production DataLoader
+decoding real JPEGs into the same compiled extraction program — reuses
+extract_n at n=1 so no extra compile, per-leg probes first and the full run
+scaled to the measured rate, with an ``overlap`` attribution breakdown;
+ESSENTIAL, never deadline-skipped), then the train samples/sec row (the
+~230 s train compile is the long pole, and it goes ahead of BOTH
 cost-analysis compiles — the mfu decorations matter less than the train
-number; also never deadline-skipped), then the cost analyses, then the
-static-unroll refine. A soft deadline (BENCH_SOFT_DEADLINE_S, default 470 s)
-skips the remaining OPTIONAL phases so the script exits 0 inside the driver's
-hard budget instead of being cut to rc=124 mid-compile. When the deadline
+number; also never deadline-skipped), then the cost analyses. Per-phase
+wall-times ride in every line from the headline on (``phase_times``). A soft
+deadline (BENCH_SOFT_DEADLINE_S, default 470 s) skips the remaining OPTIONAL
+phases so the script exits 0 inside the driver's hard budget instead of
+being cut to rc=124 mid-compile. When the deadline
 skips a cost analysis, tflops/mfu fall back to the committed static-FLOPs
 cache (.bench_flops.json, flops_source="cached" marks such rows) — live
 timing × static flop count — instead of regressing to 0.0; a run that fits
@@ -435,6 +438,13 @@ def measure_e2e(run_extract, batch: int, files, n_batches: int = 6,
     spin-up, fixture page-cache warmth, and JPEG encoding sit outside the
     clock. ``run_extract=None`` measures the HOST legs only (decode+geometry,
     no device touch) — the pipeline's host-side ceiling on this box.
+
+    Device-path rows carry an ``overlap`` breakdown attributing where the
+    composition loses throughput against the slowest leg: producer-side
+    decode / device_put / queue-full time (from prefetch_to_device's stats)
+    plus consumer-side queue-empty waits, dispatch blocking, and the final
+    drain. ``consumer_wait_s`` ≈ wall means the pipeline is producer-bound;
+    a large ``producer_device_put_s`` is the GIL-holding transfer share.
     """
     from tennis_tpu.data.loader import DataLoader, prefetch_to_device
 
@@ -449,30 +459,63 @@ def measure_e2e(run_extract, batch: int, files, n_batches: int = 6,
         _JpegDataset(files, native=True, length=(n_batches + 1) * batch),
         batch_size=batch, num_workers=workers,
     )
+    overlap = None
     if run_extract is None:
         it = iter(loader)
         next(it)
         tic = time.perf_counter()
         for _batch in it:
             pass
+        dt = time.perf_counter() - tic
     else:
-        stream = prefetch_to_device(iter(loader))
+        ps: dict = {}
+        stream = prefetch_to_device(iter(loader), stats=ps)
         warm, _l, _i = next(stream)
         assert np.isfinite(float(run_extract(warm)))  # sync the warm batch
+        # reset the producer accounting so the warm batch (and whatever the
+        # pipeline pre-staged during its sync) is excluded — approximate by
+        # design: attribution, not bookkeeping
+        for k in ("source_s", "device_put_s", "queue_full_s"):
+            ps[k] = 0.0
+        ps["batches"] = 0
         tic = time.perf_counter()
         acc = None
-        for images, _labels, _idxs in stream:
+        t_wait = t_dispatch = 0.0
+        while True:
+            t0 = time.perf_counter()
+            try:
+                images, _labels, _idxs = next(stream)
+            except StopIteration:
+                t_wait += time.perf_counter() - t0
+                break
+            t1 = time.perf_counter()
             acc = run_extract(images)
+            t_dispatch += time.perf_counter() - t1
+            t_wait += t1 - t0
+        t0 = time.perf_counter()
         # device stream is in-order: one fetch syncs everything
         assert np.isfinite(float(acc))
-    dt = time.perf_counter() - tic
-    return {
+        t_drain = time.perf_counter() - t0
+        dt = time.perf_counter() - tic
+        overlap = {
+            "wall_s": round(dt, 3),
+            "consumer_wait_s": round(t_wait, 3),
+            "consumer_dispatch_s": round(t_dispatch, 3),
+            "final_drain_s": round(t_drain, 3),
+            "producer_decode_s": round(ps["source_s"], 3),
+            "producer_device_put_s": round(ps["device_put_s"], 3),
+            "producer_queue_full_s": round(ps["queue_full_s"], 3),
+        }
+    row = {
         "fps": round(n_batches * batch / dt, 1),
         "frames": n_batches * batch,
         "batch": batch,
         "cores": os.cpu_count() or 1,
         "workers": workers,
     }
+    if overlap is not None:
+        row["overlap"] = overlap
+    return row
 
 
 def measure_h2d(jax, batch: int, reps: int = 4) -> dict:
@@ -1100,6 +1143,19 @@ def main():
     )
     _phase("model init done")
 
+    # Per-phase wall-times, carried in the artifact (result["phase_times"])
+    # so a degraded run documents WHERE the budget went — the round-4 artifact
+    # lost its refine to the deadline with no in-band record of why.
+    phase_times: dict = {}
+    _t_mark = [time.perf_counter()]
+
+    def _mark(name: str) -> None:
+        now = time.perf_counter()
+        phase_times[name] = round(now - _t_mark[0], 1)
+        _t_mark[0] = now
+
+    phase_times["lead_in"] = round(time.perf_counter() - _T0, 1)
+
     from functools import partial
 
     from tennis_tpu.parallel.mesh import tpu_compiler_options
@@ -1167,13 +1223,57 @@ def main():
             best_fps, best_batch, best_images = fps, batch, images
 
     result = _headline_row(best_fps, best_batch)
+    result["phase_times"] = phase_times  # same dict object: updated in place
+    _mark("extract_timing")
     # Flush the headline line NOW — before any further compile — so a timeout
     # leaves a parseable artifact (the driver takes the last JSON line). The
     # extraction cost analysis (another ~40 s compile) is DEFERRED until after
     # the train row lands: the train samples/sec number matters more than the
     # extraction mfu decoration, so it gets the earlier slot in the budget.
     print(json.dumps(result), flush=True)
-    _phase("extraction result flushed; e2e pipeline")
+    _phase("extraction result flushed; static-unroll refine")
+
+    # Static-unroll refine IMMEDIATELY after the first timing (round-4 lesson:
+    # parked last, it was the first casualty of a slow box and the headline
+    # regressed 2362.3 → 2343.5). A STATIC trip count lets XLA pipeline across
+    # iterations (measured ~3.5% faster: 2389 vs 2308 fps) for one compile per
+    # loop length; the cost analyses are now the deadline casualties instead.
+    @partial(jax.jit, static_argnames=("n",), compiler_options=opts)
+    def extract_static(variables, images_u8, n):
+        def body(i, acc):
+            imgs = images_u8 + i.astype(jnp.uint8)
+            feats = model.apply(variables, device_prepare(imgs), train=False)
+            return acc + jnp.sum(feats.astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    try:
+        if best_images is not None and _have_time("static-unroll refine",
+                                                  expected_s=60.0):
+            def timed_s(n):
+                tic = time.perf_counter()
+                acc = float(extract_static(variables, best_images, n))
+                assert np.isfinite(acc)
+                return time.perf_counter() - tic
+
+            timed_s(N_SHORT)
+            timed_s(N_LONG)
+            t_short = min(timed_s(N_SHORT), timed_s(N_SHORT))
+            t_long = min(timed_s(N_LONG), timed_s(N_LONG))
+            fps_s = best_batch * (N_LONG - N_SHORT) / max(t_long - t_short,
+                                                          1e-9)
+            print(f"# static-unroll extraction: {fps_s:.1f} frames/sec",
+                  file=sys.stderr, flush=True)
+            if fps_s > result["value"]:
+                best_fps = fps_s  # the later mfu/tflops math uses the refined
+                result.update(value=round(fps_s, 1),
+                              vs_baseline=round(fps_s / MXNET_BASELINE_FPS, 2))
+                print(json.dumps(result), flush=True)
+    except Exception as e:
+        print(f"# static refine failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    _mark("static_refine")
+    _phase("refine done; e2e pipeline")
 
     # End-to-end pipeline NEXT (before the ~230 s train compile): it reuses
     # the extract_n program just compiled (n=1 — no new compile, ~35 s total),
@@ -1193,16 +1293,25 @@ def main():
         try:
             paths, cached_paths = _build_jpeg_fixture()
             run = lambda imgs: extract_n(variables, imgs, jnp.int32(1))
-            e2e = measure_e2e(run, best_batch, paths)
+            # cheap per-leg probes FIRST — they both size the full run and
+            # attribute which stage bounds the pipeline here
+            host_fps = measure_e2e(None, best_batch, paths,
+                                   n_batches=3)["fps"]
+            h2d = measure_h2d(jax, best_batch, reps=2)
+            # scale the full uncached run to the rate this box can actually
+            # sustain: composition can land well below the slowest leg (the
+            # thing the overlap row attributes), so predict at half the
+            # min-leg and target ~20 s of streaming. Round-4 lesson: a fixed
+            # 6-batch run at 13.7 fps ate 56 s of the budget.
+            pred_fps = min(host_fps, h2d["fps_equiv"]) / 2.0
+            n_b = int(np.clip(round(pred_fps * 20.0 / best_batch), 2, 6))
+            e2e = measure_e2e(run, best_batch, paths, n_batches=n_b)
             # the cached variant matters on decode-bound hosts; when the
             # tunnel's H2D leg binds (see bound_by) it just re-measures the
             # transfer, so keep it short
             e2e["fps_cached_544"] = measure_e2e(run, best_batch, cached_paths,
                                                 n_batches=3)["fps"]
-            # per-leg attribution: which stage bounds the pipeline HERE
-            e2e["host_fps"] = measure_e2e(None, best_batch, paths,
-                                          n_batches=3)["fps"]
-            h2d = measure_h2d(jax, best_batch, reps=2)
+            e2e["host_fps"] = host_fps
             e2e["h2d_mbps"] = h2d["mbps"]
             e2e["h2d_fps_equiv"] = h2d["fps_equiv"]
             e2e["device_fps"] = result["value"]
@@ -1212,12 +1321,15 @@ def main():
             e2e["bound_by"] = min(legs, key=legs.get)
             e2e["ratio_of_device"] = round(e2e["fps"] / max(result["value"],
                                                             1e-9), 3)
+            e2e["ratio_of_min_leg"] = round(
+                e2e["fps"] / max(min(legs.values()), 1e-9), 3)
             result["e2e"] = e2e
             print(json.dumps(result), flush=True)
             print(f"# e2e {e2e}", file=sys.stderr, flush=True)
         except Exception as e:
             print(f"# e2e pipeline failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
+    _mark("e2e")
     _phase("e2e done; starting train phase")
 
     def publish_train(row):
@@ -1231,6 +1343,7 @@ def main():
         # artifact carries the BEST row, not merely the last-tried one
         result["train"] = best_train_row
         print(json.dumps(result), flush=True)
+    _mark("train_timing")
     _phase("train timing done; extraction cost analysis")
 
     if best_images is not None:
@@ -1251,6 +1364,7 @@ def main():
             result["tflops"] = round(infer_tflops, 1)
             result["mfu"] = round(infer_tflops / V5E_PEAK_TFLOPS, 3)
             print(json.dumps(result), flush=True)
+    _mark("extract_cost_analysis")
     _phase("extraction cost analysis done; train cost analysis")
 
     if train_cost_fn is not None:
@@ -1258,54 +1372,8 @@ def main():
             allow_compile=_have_time("train cost analysis", expected_s=75.0))
         if refined is not None:
             result["train"] = refined
-            print(json.dumps(result), flush=True)
-    _phase("train cost analysis done; static-unroll refine")
-
-    # Optional refine: a STATIC trip count lets XLA pipeline across iterations
-    # (measured ~3.5% faster than the dynamic loop: 2389 vs 2308 fps) at the
-    # cost of one compile per loop length — run it LAST so a budget cut keeps
-    # every earlier line.
-    @partial(jax.jit, static_argnames=("n",), compiler_options=opts)
-    def extract_static(variables, images_u8, n):
-        def body(i, acc):
-            imgs = images_u8 + i.astype(jnp.uint8)
-            feats = model.apply(variables, device_prepare(imgs), train=False)
-            return acc + jnp.sum(feats.astype(jnp.float32))
-
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    try:
-        if best_images is None or not _have_time("static-unroll refine",
-                                                 expected_s=60.0):
-            _store_last_recorded(result)
-            _phase("done")
-            return
-
-        def timed_s(n):
-            tic = time.perf_counter()
-            acc = float(extract_static(variables, best_images, n))
-            assert np.isfinite(acc)
-            return time.perf_counter() - tic
-
-        timed_s(N_SHORT)
-        timed_s(N_LONG)
-        t_short = min(timed_s(N_SHORT), timed_s(N_SHORT))
-        t_long = min(timed_s(N_LONG), timed_s(N_LONG))
-        fps_s = best_batch * (N_LONG - N_SHORT) / max(t_long - t_short, 1e-9)
-        print(f"# static-unroll extraction: {fps_s:.1f} frames/sec",
-              file=sys.stderr, flush=True)
-        if fps_s > result["value"]:
-            scale = fps_s / max(result["value"], 1e-9)
-            result.update(
-                value=round(fps_s, 1),
-                vs_baseline=round(fps_s / MXNET_BASELINE_FPS, 2),
-                tflops=round(result["tflops"] * scale, 1),
-                mfu=round(result["mfu"] * scale, 3),
-            )
-            print(json.dumps(result), flush=True)
-    except Exception as e:
-        print(f"# static refine failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
+    _mark("train_cost_analysis")
+    print(json.dumps(result), flush=True)  # final line: full phase_times map
     _store_last_recorded(result)
     _phase("done")
 

@@ -105,13 +105,33 @@ class DataLoader:
                 yield self.collate_fn(samples)
 
 
-def prefetch_to_device(iterator, sharding=None, buffer_size: int = 2):
-    """Move batches to device ahead of compute.
+def prefetch_to_device(iterator, sharding=None, buffer_size: int = 2,
+                       stats: dict | None = None):
+    """Move batches to device ahead of compute — a TWO-stage pipeline.
 
-    Each batch's array leaves are ``jax.device_put`` with ``sharding`` (e.g. the
-    mesh batch sharding) on a background thread while the previous batch computes —
-    the TPU never waits on PCIe if the host keeps up.
+    Stage 1 (source thread) pulls host batches from ``iterator`` into a host
+    queue; stage 2 (transfer thread) ``jax.device_put``s them (with
+    ``sharding``, e.g. the mesh batch sharding) into a device queue the
+    consumer reads. Two stages matter: a single producer serializes decode and
+    transfer, so with a slow interconnect (the tunneled chip: ~4 s per 100 MB
+    batch) the pipeline degrades to decode+transfer per batch even though the
+    loader could decode batch k+1 WHILE batch k streams to the device — the
+    round-4 e2e row measured 13.7 fps against a 31 fps transfer leg from
+    exactly this serialization.
+
+    ``stats`` (optional dict) accumulates overlap accounting the caller can
+    turn into an attribution row: ``source_s`` (time blocked on the upstream
+    iterator — decode), ``device_put_s`` (time inside device_put / global
+    array assembly, the GIL-holding transfer share), ``queue_full_s`` (time
+    the transfer thread waited on a full device queue — consumer-bound), and
+    ``batches``.
     """
+    import time
+
+    if stats is not None:
+        for k in ("source_s", "device_put_s", "queue_full_s"):
+            stats.setdefault(k, 0.0)
+        stats.setdefault("batches", 0)
 
     def put(batch):
         if sharding is None:
@@ -128,43 +148,74 @@ def prefetch_to_device(iterator, sharding=None, buffer_size: int = 2):
 
         return jax.tree_util.tree_map(_put, batch)
 
-    q: queue.Queue = queue.Queue(maxsize=buffer_size)
+    host_q: queue.Queue = queue.Queue(maxsize=buffer_size)
+    dev_q: queue.Queue = queue.Queue(maxsize=buffer_size)
     sentinel = object()
     err = []
     stop = threading.Event()  # consumer abandoned the generator early
 
-    def producer():
+    def _bounded_put(q, item) -> bool:
+        # bounded put: if the consumer broke out of its loop, the queue stays
+        # full forever — a blocking put would pin the thread (and any
+        # device-resident batches) for process life
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def source():
         try:
-            for batch in iterator:
-                item = put(batch)
-                # bounded put: if the consumer broke out of its loop, the
-                # queue stays full forever — a blocking put would pin this
-                # thread (and its device-resident batches) for process life
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+            it = iter(iterator)
+            while True:
+                tic = time.perf_counter()
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    break
+                if stats is not None:
+                    stats["source_s"] += time.perf_counter() - tic
+                if not _bounded_put(host_q, batch):
                     return
         except Exception as e:  # surface loader errors on the consumer side
             err.append(e)
         finally:
+            _bounded_put(host_q, sentinel)
+
+    def transfer():
+        try:
+            while True:
+                try:
+                    item = host_q.get(timeout=0.1)
+                except queue.Empty:
+                    if stop.is_set():
+                        return
+                    continue
+                if item is sentinel:
+                    break
+                tic = time.perf_counter()
+                item = put(item)
+                toc = time.perf_counter()
+                if not _bounded_put(dev_q, item):
+                    return
+                if stats is not None:
+                    stats["device_put_s"] += toc - tic
+                    stats["queue_full_s"] += time.perf_counter() - toc
+                    stats["batches"] += 1
+        except Exception as e:
+            err.append(e)
+        finally:
             # deliver the sentinel unless the consumer already walked away
             # (then nobody reads the queue again and it would never drain)
-            while not stop.is_set():
-                try:
-                    q.put(sentinel, timeout=0.1)
-                    break
-                except queue.Full:
-                    continue
+            _bounded_put(dev_q, sentinel)
 
-    thread = threading.Thread(target=producer, daemon=True)
-    thread.start()
+    threading.Thread(target=source, daemon=True).start()
+    threading.Thread(target=transfer, daemon=True).start()
     try:
         while True:
-            item = q.get()
+            item = dev_q.get()
             if item is sentinel:
                 if err:
                     raise err[0]

@@ -228,8 +228,15 @@ def test_measure_e2e_drives_the_production_loader(monkeypatch, tmp_path):
     assert seen == [8, 8, 8, 8]
     assert row["frames"] == 24 and row["batch"] == 8 and row["workers"] == 2
     assert row["fps"] > 0
+    # the overlap attribution breakdown rides on device-path rows
+    ov = row["overlap"]
+    assert set(ov) == {"wall_s", "consumer_wait_s", "consumer_dispatch_s",
+                       "final_drain_s", "producer_decode_s",
+                       "producer_device_put_s", "producer_queue_full_s"}
+    assert ov["wall_s"] > 0 and all(v >= 0 for v in ov.values())
 
     # host-only mode (run_extract=None): decode legs without any device touch
     host_row = bench.measure_e2e(None, batch=8, files=cached,
                                  n_batches=2, num_workers=2)
     assert host_row["fps"] > 0 and host_row["frames"] == 16
+    assert "overlap" not in host_row  # nothing to attribute host-only

@@ -151,6 +151,57 @@ def test_prefetch_to_device_sharded():
     np.testing.assert_array_equal(np.asarray(out[0][2]), np.arange(8))
 
 
+def test_prefetch_stats_accounting():
+    """The optional stats dict must accumulate the overlap-attribution legs
+    (source wait / device_put / queue-full) and the batch count."""
+    stats = {}
+    batches = [np.full(4, i, np.float32) for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), stats=stats))
+    assert len(out) == 5
+    np.testing.assert_array_equal(np.asarray(out[3]), batches[3])
+    assert stats["batches"] == 5
+    for k in ("source_s", "device_put_s", "queue_full_s"):
+        assert stats[k] >= 0.0
+
+
+def test_prefetch_decode_overlaps_transfer():
+    """Two-stage pipeline: batch k+1's source pull must proceed WHILE batch
+    k's device_put runs (a serial producer pays source+put per batch). With
+    source=put=d per item, serial is ~2*N*d; pipelined is ~N*d."""
+    import time
+
+    d = 0.05
+    n = 6
+
+    def slow_source():
+        for i in range(n):
+            time.sleep(d)
+            yield np.full(2, i, np.float32)
+
+    class SlowPutSharding:
+        pass
+
+    # patch the put leg via a transform-free path: wrap device_put with a sleep
+    from tennis_tpu.data import loader as L
+
+    orig = L.jnp_device_put_default
+
+    def slow_put(x):
+        time.sleep(d)
+        return orig(x)
+
+    L.jnp_device_put_default = slow_put
+    try:
+        tic = time.perf_counter()
+        out = list(prefetch_to_device(slow_source(), buffer_size=2))
+        wall = time.perf_counter() - tic
+    finally:
+        L.jnp_device_put_default = orig
+    assert len(out) == n
+    # serial would be >= 2*n*d = 0.6 s; allow generous slack for a loaded box
+    assert wall < 1.7 * n * d, f"no decode/transfer overlap: wall={wall:.3f}s"
+
+
 def test_prefetch_propagates_errors():
     def bad_iter():
         yield (np.zeros(4),)
@@ -234,9 +285,10 @@ def test_prefetch_producer_exits_on_abandoned_consumer():
     before = set(threading.enumerate())
     it = prefetch_to_device(iter([np.zeros(4, np.float32)] * 50),
                             buffer_size=1)
-    next(it)  # producer running, queue full
+    next(it)  # pipeline running, queues full
     new = [t for t in threading.enumerate() if t not in before]
-    assert len(new) == 1
+    assert len(new) == 2  # source + transfer stages
     it.close()  # abandon the generator early
-    new[0].join(timeout=10)
-    assert not new[0].is_alive()
+    for t in new:
+        t.join(timeout=10)
+        assert not t.is_alive()
