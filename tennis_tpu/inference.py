@@ -80,28 +80,27 @@ def load_classifier(backbone: str, model_id: str, data_shape: int,
     return classes, predict_probs, info
 
 
-def load_captioner(model_id: str, root: str = "data", gnmt_argv=(),
-                   src_max_len: int = 128):
-    """Load a captioning experiment's ``valid_best.params`` into a batched
-    beam decoder (the serving analogue of evaluate_gnmt's decode path).
+def load_captioner_state(model_id: str, root: str = "data", gnmt_argv=(),
+                         src_max_len: int = 128):
+    """Restore a captioning experiment's ``valid_best.params`` into
+    ``(vocab, model, variables, info)`` — the artifact-loading half shared by
+    the live beam decoder below and the ahead-of-time exporter
+    (``tennis_tpu/export.py::export_captioner``).
 
     Features-path only (the flagship 0102 configuration — reference
     train_gnmt.py:188-194 consumes dumped 0006 features; serving the pixels
     path would mean streaming whole frame sequences over HTTP). ``gnmt_argv``
     carries the architecture flags the checkpoint was trained with
     (``--num_hidden=256 --feats_model=0006 ...``), parsed by the train_gnmt
-    flag surface so model construction has one source of truth.
-
-    Returns ``(vocab, caption_batch, info)``: ``caption_batch`` maps a float32
-    feature batch (B, src_max_len, D) + int32 valid lengths (B,) to a list of
-    B token lists. B and src_max_len are static — ONE compiled beam program.
+    flag surface so model construction has one source of truth. ``info``
+    additionally records the decode hyper-parameters (beam size, length
+    penalty, max length) the flag surface pins.
     """
     import jax
     import jax.numpy as jnp
 
     from tennis_tpu.data import TennisSet
     from tennis_tpu.train_gnmt import FLAGS as GFLAGS, build_model
-    from tennis_tpu.translation import BeamSearchTranslator
     from tennis_tpu.utils import checkpoint as ckpt
     from tennis_tpu.utils.experiments import experiment_dir
 
@@ -138,10 +137,32 @@ def load_captioner(model_id: str, root: str = "data", gnmt_argv=(),
     logging.info("loaded %s (vocab %d, feat_dim %d)", best_path, len(vocab),
                  feat_dim)
 
+    info = {"exp_dir": exp_dir, "vocab_size": len(vocab),
+            "feat_dim": feat_dim, "src_max_len": src_max_len,
+            "beam_size": GFLAGS.beam_size, "lp_alpha": GFLAGS.lp_alpha,
+            "lp_k": GFLAGS.lp_k, "max_length": GFLAGS.tgt_max_len + 20}
+    return vocab, model, variables, info
+
+
+def load_captioner(model_id: str, root: str = "data", gnmt_argv=(),
+                   src_max_len: int = 128):
+    """Load a captioning experiment into a live batched beam decoder (the
+    serving analogue of evaluate_gnmt's decode path; see
+    ``load_captioner_state`` for the artifact contract).
+
+    Returns ``(vocab, caption_batch, info)``: ``caption_batch`` maps a float32
+    feature batch (B, src_max_len, D) + int32 valid lengths (B,) to a list of
+    B token lists. B and src_max_len are static — ONE compiled beam program.
+    """
+    from tennis_tpu.translation import BeamSearchTranslator
+
+    vocab, model, variables, info = load_captioner_state(
+        model_id, root=root, gnmt_argv=gnmt_argv, src_max_len=src_max_len)
+
     translator = BeamSearchTranslator(
         model, bos_id=vocab[vocab.bos_token], eos_id=vocab[vocab.eos_token],
-        beam_size=GFLAGS.beam_size, alpha=GFLAGS.lp_alpha, K=GFLAGS.lp_k,
-        max_length=GFLAGS.tgt_max_len + 20,
+        beam_size=info["beam_size"], alpha=info["lp_alpha"], K=info["lp_k"],
+        max_length=info["max_length"],
     )
 
     def caption_batch(feats: np.ndarray, lengths: np.ndarray):
@@ -149,6 +170,4 @@ def load_captioner(model_id: str, root: str = "data", gnmt_argv=(),
             variables, np.asarray(feats, np.float32),
             np.asarray(lengths, np.int32), vocab)
 
-    info = {"exp_dir": exp_dir, "vocab_size": len(vocab),
-            "feat_dim": feat_dim, "src_max_len": src_max_len}
     return vocab, caption_batch, info

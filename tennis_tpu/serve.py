@@ -15,9 +15,10 @@ API:
   "classes": [str]}``
 - ``POST /caption`` — body: ``np.save`` bytes of a float (T, D) frame-feature
   sequence → ``{"caption": str, "tokens": [str], "frames_used": int}``.
-  Mounted when ``--caption_model_id`` names a captioning experiment
-  (features path; the GNMT beam decode runs as ONE compiled static-shape
-  program, coalesced by its own batcher).
+  Mounted when ``--caption_model_id`` names a captioning experiment or
+  ``--caption_from_export`` names a frozen artifact (features path; the GNMT
+  beam decode runs as ONE compiled static-shape program, coalesced by its
+  own batcher).
 - ``GET /healthz``  — liveness + counters (requests served, batches run, mean
   rows per batch; caption counters when mounted)
 
@@ -29,7 +30,10 @@ needs no locking. Decode uses the native libjpeg path (DCT-domain downscale)
 with a cv2 fallback, like the training loader.
 
 Run: ``python -m tennis_tpu.serve --model_id 0006 --backbone DenseNet121
---port 8000``
+--port 8000``, or from an ahead-of-time export (``tennis_tpu.export``) with
+zero model-code/checkpoint access — the deployment-fleet shape:
+``python -m tennis_tpu.serve --from_export 0006.hlo --port 8000`` (the
+artifact's sidecar pins the static batch and crop geometry).
 """
 from __future__ import annotations
 
@@ -84,6 +88,16 @@ flags.DEFINE_integer("src_max_len", 128,
 flags.DEFINE_integer("caption_batch_size", 4,
                      "Static device batch for /caption coalescing",
                      lower_bound=1, flag_values=FLAGS)
+flags.DEFINE_string("from_export", "",
+                    "Path to a tennis_tpu.export artifact: serve /predict "
+                    "from the frozen StableHLO program (zero model code / "
+                    "checkpoint access; --backbone/--model_id/--data_shape/"
+                    "--batch_size come from its sidecar)", flag_values=FLAGS)
+flags.DEFINE_string("caption_from_export", "",
+                    "Path to a tennis_tpu.export --kind captioner artifact: "
+                    "mount POST /caption from the frozen beam program "
+                    "(--caption_batch_size/--src_max_len come from its "
+                    "sidecar)", flag_values=FLAGS)
 
 _MAX_BODY = 32 * 2**20  # reject absurd uploads before reading them
 
@@ -204,26 +218,50 @@ def build_service():
     Split from ``serve()`` so tests can mount the handler on an ephemeral-port
     server without going through flag parsing twice.
     """
-    from tennis_tpu.inference import load_classifier
     from tennis_tpu.utils.tunnel import ensure_live_backend
 
     if not ensure_live_backend():
         logging.warning("TPU tunnel unreachable — serving on CPU")
 
-    classes, predict_probs, _info = load_classifier(
-        FLAGS.backbone, FLAGS.model_id, FLAGS.data_shape, FLAGS.root)
+    if FLAGS.from_export:
+        # deployment path: the frozen program + sidecar ARE the model — its
+        # geometry is baked in, so the sidecar (not the flags) decides the
+        # static batch and crop side the batcher must pad to
+        from tennis_tpu.export import load_exported
+
+        classes, predict_probs, meta = load_exported(FLAGS.from_export)
+        batch_size, data_shape = meta["batch_size"], meta["data_shape"]
+        if batch_size != FLAGS.batch_size or data_shape != FLAGS.data_shape:
+            logging.info(
+                "export sidecar overrides flags: batch_size=%d data_shape=%d "
+                "(artifact %s, experiment %s epoch %d)", batch_size,
+                data_shape, FLAGS.from_export, meta["model_id"], meta["epoch"])
+    else:
+        from tennis_tpu.inference import load_classifier
+
+        classes, predict_probs, _info = load_classifier(
+            FLAGS.backbone, FLAGS.model_id, FLAGS.data_shape, FLAGS.root)
+        batch_size, data_shape = FLAGS.batch_size, FLAGS.data_shape
 
     # compile + warm before accepting traffic: the first request must not eat
     # the (potentially minutes-long) DenseNet compile
-    predict_probs(np.zeros(
-        (FLAGS.batch_size, FLAGS.data_shape, FLAGS.data_shape, 3), np.uint8))
-    batcher = Batcher(predict_probs, FLAGS.batch_size, FLAGS.max_wait_ms / 1e3)
-    data_shape = FLAGS.data_shape
+    predict_probs(np.zeros((batch_size, data_shape, data_shape, 3), np.uint8))
+    batcher = Batcher(predict_probs, batch_size, FLAGS.max_wait_ms / 1e3)
     timeout_s = float(FLAGS.request_timeout_s)
 
     cap_batcher = None
     feat_dim = src_max_len = 0
-    if FLAGS.caption_model_id:
+    if FLAGS.caption_from_export:
+        from tennis_tpu.export import load_exported_captioner
+
+        _toks, caption_fn, cmeta = load_exported_captioner(
+            FLAGS.caption_from_export)
+        feat_dim, src_max_len = cmeta["feat_dim"], cmeta["src_max_len"]
+        cap_batch = cmeta["batch_size"]
+        if cap_batch != FLAGS.caption_batch_size:
+            logging.info("captioner sidecar overrides flags: batch_size=%d "
+                         "src_max_len=%d", cap_batch, src_max_len)
+    elif FLAGS.caption_model_id:
         from tennis_tpu.inference import load_captioner
 
         src_max_len = FLAGS.src_max_len
@@ -231,12 +269,12 @@ def build_service():
             FLAGS.caption_model_id, root=FLAGS.root,
             gnmt_argv=FLAGS.gnmt_flag, src_max_len=src_max_len)
         feat_dim = cap_info["feat_dim"]
+        cap_batch = FLAGS.caption_batch_size
+    if feat_dim:
         # warm the beam program too (compile before traffic, same rule)
-        caption_fn(np.zeros((FLAGS.caption_batch_size, src_max_len, feat_dim),
-                            np.float32),
-                   np.ones((FLAGS.caption_batch_size,), np.int32))
-        cap_batcher = Batcher(caption_fn, FLAGS.caption_batch_size,
-                              FLAGS.max_wait_ms / 1e3)
+        caption_fn(np.zeros((cap_batch, src_max_len, feat_dim), np.float32),
+                   np.ones((cap_batch,), np.int32))
+        cap_batcher = Batcher(caption_fn, cap_batch, FLAGS.max_wait_ms / 1e3)
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, payload: dict):
@@ -366,10 +404,10 @@ def build_service():
 
 
 def serve():
-    handler, _ = build_service()
+    handler, batcher = build_service()
     httpd = ThreadingHTTPServer((FLAGS.host, FLAGS.port), handler)
     logging.info("listening on http://%s:%d (batch %d, max wait %d ms)",
-                 *httpd.server_address, FLAGS.batch_size, FLAGS.max_wait_ms)
+                 *httpd.server_address, batcher._batch, FLAGS.max_wait_ms)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

@@ -45,7 +45,11 @@ class BeamSearchTranslator:
         self._mesh = mesh
         self._jitted = {}
 
-    def _build(self, batch_size: int):
+    def build_decoder(self, batch_size: int):
+        """The unjitted ``(variables, src, src_valid_length) → (samples,
+        scores, valid_length)`` decode program for a static batch — the trace
+        surface ``tennis_tpu.export`` freezes through ``jax.export`` (params
+        baked in as constants). ``translate`` below jits the same program."""
         model = self._model
 
         def run(variables, src, src_valid_length):
@@ -63,6 +67,10 @@ class BeamSearchTranslator:
                 self._max_length, self._alpha, self._K,
             )
 
+        return run
+
+    def _build(self, batch_size: int):
+        run = self.build_decoder(batch_size)
         if self._mesh is not None:
             from tennis_tpu.parallel.mesh import batch_sharding, replicated
             return jax.jit(run, in_shardings=(

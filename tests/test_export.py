@@ -111,3 +111,182 @@ def test_format_version_guard(exported, tmp_path):
     json.dump(meta, open(bad + ".json", "w"))
     with pytest.raises(ValueError, match="unsupported export format"):
         load_exported(bad)
+
+
+def test_serve_from_export(exported):
+    """serve.py --from_export boots the HTTP endpoint from the frozen artifact
+    alone — no experiment dir, no model code — and the sidecar's static batch
+    geometry (BATCH=2 here, not the flag default 8) drives the coalescer."""
+    import json as _json
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    import cv2
+
+    from tennis_tpu import serve as serve_mod
+
+    serve_mod.FLAGS.unparse_flags()
+    serve_mod.FLAGS(["serve.py", f"--from_export={exported['out']}",
+                     "--max_wait_ms=30"])
+    handler, batcher = serve_mod.build_service()
+    assert batcher._batch == BATCH  # sidecar overrides the flag default (8)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = "http://127.0.0.1:%d" % httpd.server_address[1]
+    try:
+        rng = np.random.default_rng(5)
+        ok, enc = cv2.imencode(
+            ".jpg", rng.integers(0, 255, (48, 64, 3)).astype(np.uint8))
+        assert ok
+        req = urllib.request.Request(url + "/predict", data=enc.tobytes(),
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = _json.loads(r.read())
+        assert out["label"] in out["classes"]
+        assert len(out["probs"]) == len(out["classes"])
+        assert abs(sum(out["probs"]) - 1.0) < 1e-3
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+GNMT_ARGV = ["--feats_model=tf", "--num_hidden=16", "--emb_size=8",
+             "--tgt_max_len=10", "--emb_file="]
+
+
+@pytest.fixture(scope="module")
+def exported_cap(tmp_path_factory):
+    """A fixture dataset + fabricated captioning experiment + its beam-decode
+    export (kind='captioner')."""
+    import jax
+    import jax.numpy as jnp
+
+    base = tmp_path_factory.mktemp("expcap")
+    root = build_fixture(str(base / "ds"))
+    cwd = os.getcwd()
+    os.chdir(base)
+    try:
+        from tennis_tpu.data import TennisSet
+        from tennis_tpu.data.tennis_set import get_feature_path
+        from tennis_tpu.train_gnmt import FLAGS as GFLAGS, build_model
+        from tennis_tpu.utils import checkpoint as ckpt
+
+        rng = np.random.default_rng(0)
+        for video, n in (("V900", 60), ("V901", 50)):
+            for frame in range(n):
+                p = get_feature_path(os.path.join(root, "features", "tf"),
+                                     video, frame)
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+                np.save(p, rng.normal(size=(32,)).astype(np.float32))
+
+        GFLAGS.unparse_flags()
+        GFLAGS(["t", f"--root={root}", "--model_id=c9", *GNMT_ARGV])
+        vocab = TennisSet(root=root, captions=True, split="train",
+                          feats_model="tf", max_cap_len=10).vocab
+        cap_model = build_model(len(vocab))
+        variables = jax.jit(cap_model.init)(
+            jax.random.PRNGKey(1), jnp.zeros((1, 16, 32), jnp.float32),
+            jnp.zeros((1, 2), jnp.int32))
+        exp_c = os.path.join("models", "captioning", "experiments", "c9")
+        os.makedirs(exp_c)
+        ckpt.save_state(os.path.join(exp_c, "valid_best.params"),
+                        {"params": variables["params"],
+                         "batch_stats": variables.get("batch_stats", {})})
+
+        from tennis_tpu.export import export_captioner, save_exported
+
+        blob, meta = export_captioner("c9", batch_size=2, src_max_len=16,
+                                      root=root, gnmt_argv=GNMT_ARGV)
+        out = str(base / "c9.hlo")
+        save_exported(out, blob, meta)
+        yield {"base": base, "root": root, "out": out, "meta": meta,
+               "vocab": vocab}
+    finally:
+        os.chdir(cwd)
+
+
+def test_captioner_meta_and_reload_matches_live(exported_cap):
+    """The frozen beam program must decode token-for-token identically to the
+    live load_captioner path on the same inputs."""
+    from tennis_tpu.export import load_exported_captioner
+
+    meta = exported_cap["meta"]
+    vocab = exported_cap["vocab"]
+    assert meta["kind"] == "captioner"
+    assert meta["idx_to_token"] == list(vocab.idx_to_token)
+    assert meta["input"] == {"shape": [2, 16, 32], "dtype": "float32"}
+    assert meta["beam_size"] == 4  # train_gnmt flag surface default
+
+    toks, caption_batch, _ = load_exported_captioner(exported_cap["out"])
+    assert toks == list(vocab.idx_to_token)
+    rng = np.random.default_rng(7)
+    feats = rng.normal(size=(2, 16, 32)).astype(np.float32)
+    lengths = np.array([10, 16], np.int32)
+    captions = caption_batch(feats, lengths)
+    assert len(captions) == 2
+    assert all(t in vocab.token_to_idx for cap in captions for t in cap)
+
+    cwd = os.getcwd()
+    os.chdir(exported_cap["base"])
+    try:
+        from tennis_tpu.inference import load_captioner
+
+        _v, live_fn, _info = load_captioner(
+            "c9", root=exported_cap["root"], gnmt_argv=GNMT_ARGV,
+            src_max_len=16)
+        live = live_fn(feats, lengths)
+    finally:
+        os.chdir(cwd)
+    assert [list(c) for c in captions] == [list(c) for c in live]
+
+
+def test_captioner_loader_kind_guard(exported, exported_cap):
+    """Cross-kind loads fail loudly, not with a shape error deep in XLA."""
+    from tennis_tpu.export import load_exported, load_exported_captioner
+
+    with pytest.raises(ValueError, match="artifact kind"):
+        load_exported_captioner(exported["out"])
+    with pytest.raises(ValueError, match="artifact kind"):
+        load_exported(exported_cap["out"])
+
+    _, caption_batch, _ = load_exported_captioner(exported_cap["out"])
+    with pytest.raises(ValueError, match="shape-static"):
+        caption_batch(np.zeros((3, 16, 32), np.float32),
+                      np.ones((3,), np.int32))
+
+
+def test_serve_from_caption_export(exported, exported_cap):
+    """serve.py boots BOTH endpoints from frozen artifacts alone."""
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from tennis_tpu import serve as serve_mod
+
+    serve_mod.FLAGS.unparse_flags()
+    serve_mod.FLAGS(["serve.py", f"--from_export={exported['out']}",
+                     f"--caption_from_export={exported_cap['out']}",
+                     "--max_wait_ms=30"])
+    handler, _ = serve_mod.build_service()
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = "http://127.0.0.1:%d" % httpd.server_address[1]
+    try:
+        feats = np.random.default_rng(3).normal(size=(9, 32)) \
+            .astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, feats)
+        req = urllib.request.Request(url + "/caption", data=buf.getvalue(),
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = _json.loads(r.read())
+        assert out["frames_used"] == 9
+        assert out["caption"] == " ".join(out["tokens"])
+        toks = exported_cap["meta"]["idx_to_token"]
+        assert all(t in toks for t in out["tokens"])
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
