@@ -40,19 +40,23 @@ ESSENTIAL, never deadline-skipped), then the train samples/sec row (the
 ~230 s train compile is the long pole, and it goes ahead of BOTH
 cost-analysis compiles — the mfu decorations matter less than the train
 number; also never deadline-skipped), then the cost analyses. Per-phase
-wall-times ride in every line from the headline on (``phase_times``). A soft
-deadline (BENCH_SOFT_DEADLINE_S, default 470 s) skips the remaining OPTIONAL
-phases so the script exits 0 inside the driver's hard budget instead of
-being cut to rc=124 mid-compile. When the deadline
+wall-times ride in every line from the headline on (``phase_times``). The
+OPTIONAL phases are gated on a budget of optional-phase time
+(BENCH_OPTIONAL_BUDGET_S, default 300 s — warm total is ~186 s) plus an
+absolute wall backstop (BENCH_SOFT_DEADLINE_S, default 1200 s), so the script
+exits 0 inside the driver's hard budget instead of being cut to rc=124
+mid-compile; budgeting optional time separately means a cold-cache box's slow
+MANDATORY compile (observed 648 s) no longer starves the ~80 s refine the
+headline depends on. When the gate
 skips a cost analysis, tflops/mfu fall back to the committed static-FLOPs
 cache (.bench_flops.json, flops_source="cached" marks such rows) — live
 timing × static flop count — instead of regressing to 0.0; a run that fits
 the live analysis refreshes the cache. Candidates are pruned
 to the measured winners from round 2 (extraction batch 128 beat 256: 1927 vs
 1833 fps; train (128, "block") beat (96, None): 334 vs 278 samples/sec).
-Measured warm-cache end to end: rc=0 in ~535 s with every phase run; under
-host-CPU contention the extraction lead time alone was observed at ~440 s,
-which is what the deadline gates absorb. The persistent cache DOES hit across
+Measured warm-cache end to end: rc=0 in ~313 s with every phase run (round
+5); under host-CPU contention the extraction lead time alone was observed at
+440-648 s, which is what the optional-budget accounting absorbs. The persistent cache DOES hit across
 processes (verified with jax_explain_cache_misses: a warm run writes nothing
 new) — the residual ~190 s extraction / ~230 s train lead time is tracing +
 MLIR lowering of the fori_loop programs and executable upload over the tunnel,
@@ -78,19 +82,36 @@ N_SHORT, N_LONG = 2, 12
 TRAIN_CANDIDATES = ((128, "block"),)
 TRAIN_N_SHORT, TRAIN_N_LONG = 2, 8
 _T0 = time.perf_counter()
-# Soft deadline: optional phases (cost analyses, the static-unroll refine) are
-# skipped once elapsed time passes this, so the script exits 0 inside the
-# driver's hard budget instead of being cut to rc=124 mid-phase. The REQUIRED
-# phases (extraction timing, train timing) always run.
-SOFT_DEADLINE_S = float(os.environ.get("BENCH_SOFT_DEADLINE_S", "470"))
+# Optional phases (cost analyses, the static-unroll refine) are gated on a
+# budget of OPTIONAL-PHASE time — NOT total wall clock. Round-5 lesson: the
+# old wall-clock gate (470 s since process start) let a cold-cache box's
+# 648 s MANDATORY extraction compile starve the ~80 s refine the headline
+# depends on, even though every mandatory phase flushes its superseding JSON
+# line immediately (so a later hard cut costs only the phases after it, never
+# the artifact). Mandatory slowness therefore must not tax the optional
+# budget; optional time is accounted separately via _mark(optional=True).
+# SOFT_DEADLINE_S survives as an absolute backstop (raised 470 -> 1200 s):
+# on a box so slow the mandatory phases alone ate 20 minutes, optional
+# decorations shouldn't gamble with the driver's hard budget. Measured warm:
+# refine 82.5 s + extract CA 33.6 s + train CA 69.4 s = 186 s optional total.
+SOFT_DEADLINE_S = float(os.environ.get("BENCH_SOFT_DEADLINE_S", "1200"))
+OPTIONAL_BUDGET_S = float(os.environ.get("BENCH_OPTIONAL_BUDGET_S", "300"))
+_OPTIONAL_SPENT = [0.0]  # seconds spent in completed optional phases
 
 
 def _have_time(phase: str, expected_s: float = 0.0) -> bool:
-    """Gate an OPTIONAL phase on the soft deadline, including the phase's own
-    expected duration: a ~60 s cost-analysis compile entered at deadline-1s
-    would overrun the driver's hard budget (rc=124 mid-compile), the exact
-    failure this gate exists to prevent."""
+    """Gate an OPTIONAL phase on the optional-time budget (time already spent
+    in optional phases plus this one's expected duration) and on the absolute
+    wall backstop. Both include the phase's own expected duration: a ~60 s
+    cost-analysis compile entered at deadline-1s would overrun the driver's
+    hard budget (rc=124 mid-compile), the exact failure this gate prevents."""
     elapsed = time.perf_counter() - _T0
+    if _OPTIONAL_SPENT[0] + expected_s >= OPTIONAL_BUDGET_S:
+        print(f"# [{elapsed:7.1f}s] optional budget {OPTIONAL_BUDGET_S:.0f}s "
+              f"(spent {_OPTIONAL_SPENT[0]:.0f}s) would pass during {phase} "
+              f"(expected ~{expected_s:.0f}s): skipping it",
+              file=sys.stderr, flush=True)
+        return False
     if elapsed + expected_s >= SOFT_DEADLINE_S:
         print(f"# [{elapsed:7.1f}s] soft deadline {SOFT_DEADLINE_S:.0f}s "
               f"would pass during {phase} (expected ~{expected_s:.0f}s): "
@@ -1149,9 +1170,11 @@ def main():
     phase_times: dict = {}
     _t_mark = [time.perf_counter()]
 
-    def _mark(name: str) -> None:
+    def _mark(name: str, optional: bool = False) -> None:
         now = time.perf_counter()
         phase_times[name] = round(now - _t_mark[0], 1)
+        if optional:  # charge the phase to the optional budget (_have_time)
+            _OPTIONAL_SPENT[0] += now - _t_mark[0]
         _t_mark[0] = now
 
     phase_times["lead_in"] = round(time.perf_counter() - _T0, 1)
@@ -1272,7 +1295,7 @@ def main():
     except Exception as e:
         print(f"# static refine failed: {type(e).__name__}: {e}",
               file=sys.stderr)
-    _mark("static_refine")
+    _mark("static_refine", optional=True)
     _phase("refine done; e2e pipeline")
 
     # End-to-end pipeline NEXT (before the ~230 s train compile): it reuses
@@ -1364,7 +1387,7 @@ def main():
             result["tflops"] = round(infer_tflops, 1)
             result["mfu"] = round(infer_tflops / V5E_PEAK_TFLOPS, 3)
             print(json.dumps(result), flush=True)
-    _mark("extract_cost_analysis")
+    _mark("extract_cost_analysis", optional=True)
     _phase("extraction cost analysis done; train cost analysis")
 
     if train_cost_fn is not None:
@@ -1372,7 +1395,7 @@ def main():
             allow_compile=_have_time("train cost analysis", expected_s=75.0))
         if refined is not None:
             result["train"] = refined
-    _mark("train_cost_analysis")
+    _mark("train_cost_analysis", optional=True)
     print(json.dumps(result), flush=True)  # final line: full phase_times map
     _store_last_recorded(result)
     _phase("done")

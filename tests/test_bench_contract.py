@@ -26,7 +26,7 @@ def _fresh_bench(monkeypatch, deadline: str):
 
 def test_have_time_gates_on_soft_deadline(monkeypatch, capsys):
     bench = _fresh_bench(monkeypatch, "0")
-    # elapsed since import is >= 0, so a 0-second deadline is already past
+    # elapsed since import is >= 0, so a 0-second backstop is already past
     assert bench._have_time("anything-optional") is False
     assert "skipping" in capsys.readouterr().err
 
@@ -36,12 +36,36 @@ def test_have_time_gates_on_soft_deadline(monkeypatch, capsys):
 
 
 def test_have_time_accounts_for_expected_phase_cost(monkeypatch, capsys):
-    """A phase whose own expected duration would cross the deadline is skipped
-    even though the deadline has not YET passed (prevents rc=124 mid-compile)."""
+    """A phase whose own expected duration would cross the gate is skipped
+    even though the gate has not YET passed (prevents rc=124 mid-compile)."""
     bench = _fresh_bench(monkeypatch, "100000")
     assert bench._have_time("cheap", expected_s=1.0) is True
     assert bench._have_time("a-60s-compile", expected_s=1e9) is False
     assert "a-60s-compile" in capsys.readouterr().err
+
+
+def test_optional_budget_is_independent_of_mandatory_slowness(monkeypatch,
+                                                              capsys):
+    """Round-5 regression: a cold-cache box's 648 s MANDATORY compile must not
+    starve the ~80 s optional refine. Only time charged as optional counts
+    against the optional budget; a huge mandatory lead-in alone never skips."""
+    import time as _time
+    bench = _fresh_bench(monkeypatch, "1200")
+    # simulate a 600 s mandatory lead-in: under the OLD 470 s wall-clock gate
+    # this skipped every optional phase; now it must not
+    bench._T0 = _time.perf_counter() - 600.0
+    assert bench._have_time("static-unroll refine", expected_s=80.0) is True
+    assert capsys.readouterr().err == ""
+    # but optional spend DOES count: 250 s already charged + an 80 s phase
+    # crosses the 300 s default budget
+    bench._OPTIONAL_SPENT[0] = 250.0
+    assert bench._have_time("train cost analysis", expected_s=80.0) is False
+    assert "optional budget" in capsys.readouterr().err
+    # and the absolute backstop still protects a pathologically slow box
+    bench._OPTIONAL_SPENT[0] = 0.0
+    bench._T0 = _time.perf_counter() - 1150.0
+    assert bench._have_time("static-unroll refine", expected_s=80.0) is False
+    assert "soft deadline" in capsys.readouterr().err
 
 
 def test_outage_artifact_is_parseable_last_line(monkeypatch, capsys):
@@ -79,7 +103,7 @@ def test_result_schema_prefixes_are_supersets(monkeypatch):
     })
     for later in (refined, with_train):
         assert set(headline) <= set(later)
-    assert bench.SOFT_DEADLINE_S == 470.0
+    assert bench.SOFT_DEADLINE_S == 470.0  # pinned by _fresh_bench's env
     # the outage artifact shares the four driver-required keys
     outage_keys = {"metric", "value", "unit", "vs_baseline"}
     assert outage_keys <= set(headline)
