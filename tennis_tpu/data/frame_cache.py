@@ -71,10 +71,16 @@ def resize_encode_one(src: str, dst: str, short: int, quality: int = 95) -> bool
         # larger one landing on it) -> disambiguate with a header-only parse
         # of the SOURCE dims and copy verbatim only when the source itself is
         # at the target; a possibly-full-res original must never be copied
-        # into the cache.
+        # into the cache. Without the native decoder no prescale can engage
+        # (cv2 always decodes full-res), so the decoded shape IS the source
+        # shape — don't pay _source_short_side's full-decode fallback for an
+        # answer we already hold.
+        from tennis_tpu.native.jpeg import HAVE_NATIVE_JPEG
+
         decoded_short = min(img.shape[:2])
         if decoded_short < short or (
-                decoded_short == short and _source_short_side(src) == short):
+                decoded_short == short and
+                (not HAVE_NATIVE_JPEG or _source_short_side(src) == short)):
             shutil.copyfile(src, tmp)
         else:
             if min(img.shape[:2]) > short:

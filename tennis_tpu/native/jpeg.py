@@ -4,7 +4,8 @@
 the smallest M/8 DCT downscale whose short side still covers ``min_short``
 (the geometry stage's input requirement), or ``None`` when the native library
 is unavailable or the file is not a decodable JPEG — callers fall back to cv2.
-Compiled on first use against the system libjpeg(-turbo), like
+``jpeg_dims``/``jpeg_dims_file`` are the header-only variants (no pixel
+decode). Compiled on first use against the system libjpeg(-turbo), like
 tennis_tpu/native/batch_ops.
 """
 from __future__ import annotations
@@ -57,9 +58,10 @@ def _load():
 HAVE_NATIVE_JPEG = _load() is not None
 
 
-def decode_jpeg(data: bytes, min_short: int | None = None):
-    """RGB uint8 (H, W, 3) from in-memory JPEG, DCT-downscaled to the smallest
-    M/8 that keeps the short side >= ``min_short``; None on any failure."""
+def _dims(data: bytes, min_short: int | None):
+    """Shared prelude: library + JPEG-magic guard, then tjp_dims. Returns
+    ``(lib, buf, h, w, scale)`` with the ctypes out-params filled, or None on
+    any failure — the single place the guard and call convention live."""
     lib = _load()
     if lib is None or len(data) < 4 or data[:2] != b"\xff\xd8":
         return None
@@ -70,6 +72,27 @@ def decode_jpeg(data: bytes, min_short: int | None = None):
     if lib.tjp_dims(buf, len(data), int(min_short or 0), ctypes.byref(h),
                     ctypes.byref(w), ctypes.byref(scale)):
         return None
+    return lib, buf, h, w, scale
+
+
+def _read_jpeg_bytes(path: str):
+    """File variant of the guard: extension check + read; None on failure."""
+    if not path.lower().endswith((".jpg", ".jpeg")):
+        return None
+    try:
+        with open(path, "rb") as f:
+            return f.read()
+    except OSError:
+        return None
+
+
+def decode_jpeg(data: bytes, min_short: int | None = None):
+    """RGB uint8 (H, W, 3) from in-memory JPEG, DCT-downscaled to the smallest
+    M/8 that keeps the short side >= ``min_short``; None on any failure."""
+    pre = _dims(data, min_short)
+    if pre is None:
+        return None
+    lib, buf, h, w, scale = pre
     out = np.empty((h.value, w.value, 3), np.uint8)
     rc = lib.tjp_decode(
         buf, len(data), scale.value,
@@ -85,36 +108,18 @@ def jpeg_dims(data: bytes):
     """Header-only (height, width) of an in-memory JPEG — no pixel decode
     (tjp_dims with min_short=0 reports the full-size output dims). None when
     the native library is unavailable or the buffer is not a JPEG."""
-    lib = _load()
-    if lib is None or len(data) < 4 or data[:2] != b"\xff\xd8":
+    pre = _dims(data, 0)
+    if pre is None:
         return None
-    buf = (ctypes.c_ubyte * len(data)).from_buffer_copy(data)
-    h = ctypes.c_int()
-    w = ctypes.c_int()
-    scale = ctypes.c_int()
-    if lib.tjp_dims(buf, len(data), 0, ctypes.byref(h), ctypes.byref(w),
-                    ctypes.byref(scale)):
-        return None
+    _lib_, _buf, h, w, _scale = pre
     return (h.value, w.value)
 
 
 def jpeg_dims_file(path: str):
-    if not path.lower().endswith((".jpg", ".jpeg")):
-        return None
-    try:
-        with open(path, "rb") as f:
-            data = f.read()
-    except OSError:
-        return None
-    return jpeg_dims(data)
+    data = _read_jpeg_bytes(path)
+    return None if data is None else jpeg_dims(data)
 
 
 def decode_jpeg_file(path: str, min_short: int | None = None):
-    if not path.lower().endswith((".jpg", ".jpeg")):
-        return None
-    try:
-        with open(path, "rb") as f:
-            data = f.read()
-    except OSError:
-        return None
-    return decode_jpeg(data, min_short)
+    data = _read_jpeg_bytes(path)
+    return None if data is None else decode_jpeg(data, min_short)

@@ -155,6 +155,11 @@ DRY_TRAIN_STEPS = [
                             "--log_interval", "10"]),
 ]
 
+# The rows above whose stand-ins train long enough to provably clear zero on
+# the learnable fixture; the dry-run's value-plumbing verdict gates on these
+# (and ONLY these — the 1-epoch smoke rows may legitimately score 0.00).
+_LEARNABLE_ROWS = frozenset({"0006", "0102"})
+
 
 # --------------------------------------------------------------------- gates
 
@@ -322,6 +327,31 @@ def _ensure_features(root: str, cwd: str, platform: str, log_dir: str) -> None:
 
 # ----------------------------------------------------------------- reporting
 
+def dryrun_values_carried(report: list[dict]) -> tuple[bool, list[str]]:
+    """Value-plumbing verdict for a dry-run report: the run must push NONZERO
+    values through the harvest→gate seam (the round-4 scale bug survived
+    precisely because every dry-run gate input was 0.00). Only the rows whose
+    stand-ins get a REAL training budget (_LEARNABLE_ROWS: 0006 trains 8
+    epochs, 0102 memorises the fixture captions over 40) provably clear zero
+    on the learnable fixture; the 1-epoch smoke rows (0010/0028/0031/0042)
+    may legitimately score 0.00 and must not fail the check — a
+    ``--rows 0031`` subset run is a valid execution check, just not a
+    value-plumbing one. (Gate values are rounded to 2 dp AFTER the ×100; the
+    learnable stand-ins land orders of magnitude above rounding.)
+
+    Returns ``(carried, learnable_rows_that_ran)``; ``carried`` is vacuously
+    True when no learnable row ran.
+    """
+    def _nonzero(row_id):
+        return any(c["measured"] != 0 for r in report
+                   if r["ok"] and r["row"] == row_id for c in r["checks"]
+                   if c["gated"])
+
+    learnable_ran = [r["row"] for r in report
+                     if r["ok"] and r["row"] in _LEARNABLE_ROWS]
+    return all(_nonzero(row) for row in learnable_ran), learnable_ran
+
+
 def _print_table(report: list[dict]) -> None:
     print(f"\n{'row':6} {'metric':12} {'published':>9} {'measured':>9} "
           f"{'tol':>6}  verdict")
@@ -433,21 +463,7 @@ def main(argv=None) -> int:
 
     _print_table([r for r in report if r["ok"]])
 
-    # Value-plumbing check: the dry-run must push NONZERO values through the
-    # harvest→gate seam (the round-4 scale bug survived precisely because
-    # every dry-run gate input was 0.00). The fixture is built learnable
-    # (class-coded frames, stereotyped captions) so the stand-ins provably
-    # clear zero; all-zero measured values mean a plumbing regression.
-    def _nonzero(pred):
-        return any(c["measured"] != 0 for r in report
-                   if r["ok"] and pred(r["row"]) for c in r["checks"]
-                   if c["gated"])
-
-    vision_rows_ran = any(r["ok"] and r["row"] != "0102" for r in report)
-    caption_rows_ran = any(r["ok"] and r["row"] == "0102" for r in report)
-    values_carried = ((not vision_rows_ran or _nonzero(lambda r: r != "0102"))
-                      and (not caption_rows_ran or _nonzero(
-                          lambda r: r == "0102")))
+    values_carried, learnable_ran = dryrun_values_carried(report)
 
     result = {
         "mode": "dry-run" if args.dry_run else "real",
@@ -463,9 +479,12 @@ def main(argv=None) -> int:
     print(f"\n# report: {out_path}")
     if args.dry_run:
         ok = all_ran and values_carried
+        plumbing = (f"nonzero gated values on {'/'.join(learnable_ran)}: "
+                    f"{values_carried}" if learnable_ran else
+                    "no learnable rows in subset (execution check only)")
         print(f"# dry-run {'OK' if ok else 'FAILED'}: "
               f"{sum(r['ok'] for r in report)}/{len(report)} rows executed, "
-              f"nonzero gated values: {values_carried} "
+              f"{plumbing} "
               "(gate outcomes on synthetic pixels are reported only)")
         return 0 if ok else 1
     verdict = "PASS" if (all_ran and all_gates_pass) else "FAIL"

@@ -359,7 +359,7 @@ def build_service():
             if cap_batcher is None:
                 return self._reply(404, {
                     "error": "no captioner mounted (start with "
-                             "--caption_model_id)"})
+                             "--caption_model_id or --caption_from_export)"})
             body = self._read_body()
             if body is None:
                 return

@@ -258,6 +258,11 @@ def test_measure_e2e_drives_the_production_loader(monkeypatch, tmp_path):
                        "final_drain_s", "producer_decode_s",
                        "producer_device_put_s", "producer_queue_full_s"}
     assert ov["wall_s"] > 0 and all(v >= 0 for v in ov.values())
+    # measurement-integrity invariant: the prefetch pipeline is created
+    # INSIDE the clock, so the counted batches' decode (producer source
+    # time) is on-clock — a pre-staging regression would zero this out
+    # while wall_s stays positive
+    assert ov["producer_decode_s"] > 0
 
     # host-only mode (run_extract=None): decode legs without any device touch
     host_row = bench.measure_e2e(None, batch=8, files=cached,

@@ -172,9 +172,13 @@ def exported_cap(tmp_path_factory):
         from tennis_tpu.train_gnmt import FLAGS as GFLAGS, build_model
         from tennis_tpu.utils import checkpoint as ckpt
 
+        from fixtures import VIDEO_EVENTS
+
+        # cover every fixture frame (source of truth: VIDEO_EVENTS — a
+        # hardcoded (video, n) table went stale when the fixture grew)
         rng = np.random.default_rng(0)
-        for video, n in (("V900", 60), ("V901", 50)):
-            for frame in range(n):
+        for video, events in VIDEO_EVENTS.items():
+            for frame in range(events[-1][1]):
                 p = get_feature_path(os.path.join(root, "features", "tf"),
                                      video, frame)
                 os.makedirs(os.path.dirname(p), exist_ok=True)

@@ -129,6 +129,39 @@ def test_captioning_seam_producer_to_gate(tmp_path):
     assert not all(c["pass"] for c in bad if c["gated"])
 
 
+def _report_row(row, measured_vals, ok=True):
+    checks = [{"metric": f"m{i}", "measured": v, "gated": True, "pass": False}
+              for i, v in enumerate(measured_vals)]
+    return {"row": row, "ok": ok, "checks": checks}
+
+
+def test_dryrun_values_carried_gates_only_learnable_rows():
+    """A --rows subset of 1-epoch smoke stand-ins (e.g. 0031) legitimately
+    scores 0.00 on every gated metric; that is an execution check, not a
+    value-plumbing failure. Only the learnable rows (0006/0102, real training
+    budgets) must come back nonzero."""
+    # smoke-only subset, all zeros: vacuously carried (no learnable row ran)
+    carried, ran = parity.dryrun_values_carried(
+        [_report_row("0031", [0.0, 0.0])])
+    assert carried is True and ran == []
+
+    # learnable row all-zero → plumbing failure
+    carried, ran = parity.dryrun_values_carried(
+        [_report_row("0006", [0.0, 0.0]), _report_row("0031", [0.0])])
+    assert carried is False and ran == ["0006"]
+
+    # learnable rows nonzero → carried, regardless of zero smoke rows
+    carried, ran = parity.dryrun_values_carried(
+        [_report_row("0006", [0.0, 20.0]), _report_row("0102", [5.5]),
+         _report_row("0031", [0.0])])
+    assert carried is True and set(ran) == {"0006", "0102"}
+
+    # a learnable row that FAILED to run doesn't count as having carried
+    carried, ran = parity.dryrun_values_carried(
+        [{"row": "0006", "ok": False}, _report_row("0031", [0.0])])
+    assert carried is True and ran == []  # execution failure is all_ran's job
+
+
 def test_published_tables_match_baseline_avg():
     """The encoded per-class rows must reproduce the published AVG column
     (BASELINE.md: 52.4 / 55.4 / 30.4 / 54.3 / 55.7) to rounding."""

@@ -184,10 +184,13 @@ def test_caption_endpoint(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)  # experiment dirs are cwd-relative
     root = build_fixture(str(tmp_path / "data"))
 
-    # feature store for the features-path captioner (dim 32)
+    # feature store for the features-path captioner (dim 32), covering every
+    # fixture frame (source of truth: VIDEO_EVENTS, not a hardcoded table)
+    from fixtures import VIDEO_EVENTS
+
     rng = np.random.default_rng(0)
-    for video, n in (("V900", 60), ("V901", 50)):
-        for frame in range(n):
+    for video, events in VIDEO_EVENTS.items():
+        for frame in range(events[-1][1]):
             path = get_feature_path(os.path.join(root, "features", "tf"),
                                     video, frame)
             os.makedirs(os.path.dirname(path), exist_ok=True)
