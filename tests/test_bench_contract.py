@@ -254,10 +254,14 @@ def test_measure_e2e_drives_the_production_loader(monkeypatch, tmp_path):
     assert row["fps"] > 0
     # the overlap attribution breakdown rides on device-path rows
     ov = row["overlap"]
-    assert set(ov) == {"wall_s", "consumer_wait_s", "consumer_dispatch_s",
-                       "final_drain_s", "producer_decode_s",
-                       "producer_device_put_s", "producer_queue_full_s"}
+    assert set(ov) == {"wall_s", "fill_s", "consumer_wait_s",
+                       "consumer_dispatch_s", "final_drain_s",
+                       "producer_decode_s", "producer_device_put_s",
+                       "producer_queue_full_s"}
     assert ov["wall_s"] > 0 and all(v >= 0 for v in ov.values())
+    # steady-state decomposition: whole-stream fps keeps the pipeline fill,
+    # fps_steady excludes it (frames after the first delivered batch)
+    assert row["fps_steady"] > 0 and ov["fill_s"] > 0
     # measurement-integrity invariant: the prefetch pipeline is created
     # INSIDE the clock, so the counted batches' decode (producer source
     # time) is on-clock — a pre-staging regression would zero this out
