@@ -1311,17 +1311,25 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     _phase(f"devices: {jax.devices()}")
-    # Provisional artifact BEFORE the extraction lead-in: tracing + MLIR
-    # lowering of the DenseNet fori_loop runs on the HOST and is not covered
-    # by the persistent cache — observed 844 s on a 1-core session box (vs
-    # 24 s round 3). If the driver's hard budget cuts the run inside that
-    # window, this line keeps the artifact parseable and honest (superseded
-    # the moment the real headline flushes).
+    # Provisional artifact BEFORE the extraction lead-in. Two distinct hangs
+    # can eat a run here and the stderr phase markers tell them apart: (a)
+    # host tracing + MLIR lowering of the DenseNet fori_loop, not covered by
+    # the persistent cache — observed 844 s on a 1-core session box (vs 24 s
+    # round 3), burns CPU; (b) a wedged tunnel — the device RPC never returns,
+    # ~0% CPU, even with a compile-cache hit (observed: 33 min at 0.6% CPU
+    # after a 10 s lead-in while a parallel `jax.devices()` probe also hung).
+    # If the driver's hard budget cuts the run inside either window, this line
+    # keeps the artifact parseable and honest (superseded the moment the real
+    # headline flushes).
     print(json.dumps({
         "metric": "frames/sec/chip (DenseNet121-512 feature extraction)",
         "value": 0.0, "unit": "frames/sec", "vs_baseline": 0.0,
-        "error": "run cut during host-side tracing/lowering lead-in; nothing "
-                 "measured yet this run (not a device failure)",
+        "error": "run cut during the lead-in (host tracing/lowering, or a "
+                 "device dispatch that never returned — a wedged tunnel); "
+                 "nothing measured yet this run. stderr phase markers "
+                 "attribute which: per-batch markers print before each "
+                 "dispatch, and a marker that never gets a successor at "
+                 "near-zero CPU means the tunnel hung",
         "last_recorded_on_chip": _last_recorded(),
     }), flush=True)
     model = FrameModel(get_backbone("densenet121", dtype=jnp.bfloat16),
@@ -1390,6 +1398,10 @@ def main():
             )
         )
         try:
+            # marker BEFORE the dispatch: if the run is later found cut with
+            # this as the last stderr line, the hang is attributable (high
+            # CPU → host lowering; ~0% CPU → tunnel/device never returned)
+            _phase(f"batch {batch}: tracing/lowering, then first dispatch")
             timed(batch, N_SHORT, images)  # the single compile
             timed(batch, N_LONG, images)   # warm dispatch
             # two reps, min per loop length: dispatch jitter is additive, so
