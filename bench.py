@@ -1390,6 +1390,42 @@ def main():
     def extract_one(variables, images_u8):
         return model.apply(variables, device_prepare(images_u8), train=False)
 
+    # Wedge watchdog: if the first dispatch has not returned after this long,
+    # upgrade the provisional artifact with a conclusive attribution line (the
+    # main thread is blocked inside the RPC and cannot do it itself). Observed
+    # 2026-08-20: a wedged tunnel held the first extract_n dispatch >33 min at
+    # ~0% CPU while the TCP endpoint stayed reachable and SMALL programs kept
+    # executing from other processes — so the watchdog also reports the
+    # bounded TCP probe, which distinguishes "tunnel down" from "large-program
+    # dispatch wedged". A run that later recovers supersedes this line with
+    # the real headline (consumers take the LAST JSON line).
+    import threading
+    _first_dispatch_done = threading.Event()
+
+    def _wedge_watchdog(limit_s: float = 600.0) -> None:
+        if _first_dispatch_done.wait(limit_s):
+            return
+        try:
+            from tennis_tpu.utils.tunnel import tpu_reachable
+            tcp = "reachable" if tpu_reachable() else "UNREACHABLE"
+        except Exception:
+            tcp = "unknown"
+        print(f"# WATCHDOG: first dispatch still blocked after {limit_s:.0f}s "
+              f"at near-zero CPU; tunnel TCP endpoint {tcp}",
+              file=sys.stderr, flush=True)
+        print(json.dumps({
+            "metric": "frames/sec/chip (DenseNet121-512 feature extraction)",
+            "value": 0.0, "unit": "frames/sec", "vs_baseline": 0.0,
+            "error": f"device dispatch wedged: first extract_n dispatch did "
+                     f"not return within {limit_s:.0f}s (host lead-in had "
+                     f"completed; tunnel TCP endpoint {tcp}). This is a "
+                     f"device/tunnel failure, not a measurement of the "
+                     f"workload",
+            "last_recorded_on_chip": _last_recorded(),
+        }), flush=True)
+
+    threading.Thread(target=_wedge_watchdog, daemon=True).start()
+
     best_fps, best_batch, best_images = 0.0, 0, None
     for batch in BATCH_CANDIDATES:
         images = jax.device_put(
@@ -1403,6 +1439,7 @@ def main():
             # CPU → host lowering; ~0% CPU → tunnel/device never returned)
             _phase(f"batch {batch}: tracing/lowering, then first dispatch")
             timed(batch, N_SHORT, images)  # the single compile
+            _first_dispatch_done.set()
             timed(batch, N_LONG, images)   # warm dispatch
             # two reps, min per loop length: dispatch jitter is additive, so
             # the min is the clean estimate — a single noisy t_short shrinks
